@@ -1,0 +1,162 @@
+"""Tile-based triangle rasterization -> visibility buffer.
+
+The heart of the TPU pipeline. Where Vulkan's fixed-function rasterizer
+scan-converts triangles into fragments, we evaluate barycentric coverage of
+each tile's candidate triangles over the whole tile at once with VPU-shaped
+vector ops, keeping a (depth, triangle-id) pair per pixel — a *visibility
+buffer*. Shading is deferred (ops/shade.py): it re-derives barycentrics from
+the winning triangle id, so the raster loop stays tiny (edge functions +
+z-test only) and the expensive PBR math runs exactly once per pixel with no
+overdraw — the TPU answer to early-z.
+
+Two implementations with identical semantics:
+- `rasterize` — pure jnp `lax.scan` over the per-tile triangle list; runs on
+  any backend (it is the CPU test oracle) and compiles to a clean VPU loop.
+- `rasterize_pallas` (ops/raster_pallas.py) — hand-written Pallas kernel with
+  per-tile early exit on the actual triangle count.
+
+Depth semantics match the reference PBR pipeline: CompareOp::LESS, depth range
+[0, 1], clear depth 1.0 (renderer.rs:1804-1833, pipeline.rs:206-216). Ties on
+equal depth resolve to the EARLIER triangle (sequential submission order),
+matching GPU draw order.
+
+No polygon clipping is performed: triangles crossing the near plane are
+discarded in triangle_setup (ops/geometry.py NEAR_EPS). This matches typical
+tiled software rasterizers; scenes keep geometry in front of the near plane.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import TileBins, grid_shape
+from .geometry import TriangleSetup
+
+
+class VisibilityBuffer(NamedTuple):
+    depth: jnp.ndarray  # (H, W) float32, 1.0 = far/clear
+    tri_id: jnp.ndarray  # (H, W) int32, -1 = background
+
+
+def _gather_tile_tris(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-triangle raster data gathered per tile slot.
+
+    Returns (num_tiles, K, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 area2.
+    Slot -1 (padding) gathers triangle 0 but is masked by the id check in the
+    raster loop.
+    """
+    ids = jnp.maximum(tri_ids, 0)
+    xy = setup.xy[ids]  # (num_tiles, K, 3, 2)
+    z = setup.z[ids]  # (num_tiles, K, 3)
+    area2 = setup.area2[ids]  # (num_tiles, K)
+    flat = jnp.concatenate(
+        [xy.reshape(*ids.shape, 6), z, area2[..., None]], axis=-1
+    )
+    return flat
+
+
+def _pixel_centers(num_tiles: int, tx: int, tile_h: int, tile_w: int):
+    """Framebuffer-space pixel-center coordinates per tile: (num_tiles, TH, TW)."""
+    tile_idx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1, 1), 0)
+    base_x = (tile_idx % tx) * tile_w
+    base_y = (tile_idx // tx) * tile_h
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
+    px = (base_x + ix).astype(jnp.float32) + 0.5
+    py = (base_y + iy).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def coverage_and_depth(tri, px, py):
+    """Evaluate one triangle per tile over the tile's pixels.
+
+    tri: (num_tiles, 10) packed row from _gather_tile_tris.
+    px/py: (num_tiles, TH, TW) pixel centers.
+    Returns (inside (bool), z (f32)) of shape (num_tiles, TH, TW).
+    """
+    c = lambda i: tri[:, i][:, None, None]  # noqa: E731
+    x0, y0, x1, y1, x2, y2 = c(0), c(1), c(2), c(3), c(4), c(5)
+    z0, z1, z2 = c(6), c(7), c(8)
+    area2 = c(9)
+    inv_area = 1.0 / jnp.where(area2 == 0.0, 1.0, area2)
+    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    lam0 = e0 * inv_area
+    lam1 = e1 * inv_area
+    lam2 = 1.0 - lam0 - lam1
+    inside = (lam0 >= 0.0) & (lam1 >= 0.0) & (lam2 >= 0.0) & (area2 != 0.0)
+    z = lam0 * z0 + lam1 * z1 + lam2 * z2
+    return inside, z
+
+
+def untile(buf: jnp.ndarray, height: int, width: int, tile_h: int, tile_w: int):
+    """(num_tiles, TH, TW) tiled layout -> (H, W) framebuffer layout."""
+    ty, tx = grid_shape(height, width, tile_h, tile_w)
+    img = buf.reshape(ty, tx, tile_h, tile_w).transpose(0, 2, 1, 3)
+    img = img.reshape(ty * tile_h, tx * tile_w)
+    return img[:height, :width]
+
+
+def tile_image(img: jnp.ndarray, tile_h: int, tile_w: int) -> jnp.ndarray:
+    """(H, W) -> (num_tiles, TH, TW), zero padded."""
+    h, w = img.shape
+    ty, tx = grid_shape(h, w, tile_h, tile_w)
+    pad_h, pad_w = ty * tile_h - h, tx * tile_w - w
+    img = jnp.pad(img, ((0, pad_h), (0, pad_w)))
+    return (
+        img.reshape(ty, tile_h, tx, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(ty * tx, tile_h, tile_w)
+    )
+
+
+def rasterize(
+    setup: TriangleSetup,
+    bins: TileBins,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    unroll: int = 8,
+) -> VisibilityBuffer:
+    """Scan-based rasterizer: one triangle per tile per scan step.
+
+    The scan carry is the tiled (depth, tri_id) visibility buffer; each step
+    tests scan slot k of every tile simultaneously — a dense (num_tiles,
+    TH, TW) VPU op. Depth LESS keeps the first (lowest-id) triangle on ties.
+    """
+    ty, tx = grid_shape(height, width, tile_h, tile_w)
+    num_tiles = ty * tx
+    k = bins.tri_ids.shape[1]
+
+    tile_data = _gather_tile_tris(setup, bins.tri_ids)  # (num_tiles, K, 10)
+    px, py = _pixel_centers(num_tiles, tx, tile_h, tile_w)
+
+    zbuf0 = jnp.ones((num_tiles, tile_h, tile_w), jnp.float32)
+    tid0 = jnp.full((num_tiles, tile_h, tile_w), -1, jnp.int32)
+
+    def step(carry, inputs):
+        zbuf, tid = carry
+        tri, ids = inputs  # (num_tiles, 10), (num_tiles,)
+        inside, z = coverage_and_depth(tri, px, py)
+        ok = ids[:, None, None] >= 0
+        m = inside & ok & (z >= 0.0) & (z <= 1.0) & (z < zbuf)
+        zbuf = jnp.where(m, z, zbuf)
+        tid = jnp.where(m, ids[:, None, None], tid)
+        return (zbuf, tid), None
+
+    (zbuf, tid), _ = jax.lax.scan(
+        step,
+        (zbuf0, tid0),
+        (tile_data.transpose(1, 0, 2), bins.tri_ids.T),
+        length=k,
+        unroll=min(unroll, k),
+    )
+
+    return VisibilityBuffer(
+        depth=untile(zbuf, height, width, tile_h, tile_w),
+        tri_id=untile(tid, height, width, tile_h, tile_w),
+    )
