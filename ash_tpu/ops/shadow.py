@@ -1,0 +1,73 @@
+"""Shadow-map sampling: 16-tap PCF via 4 gather quads.
+
+Numerical port of the reference's optimized PCF (shaders/frag.frag:48-88):
+4 textureGather calls at (+-1, +-1) texel offsets, each yielding a 2x2 depth
+quad, compared against (currentDepth - slope_bias) -> 16 binary taps averaged.
+
+Sampler semantics replicated from the reference shadow sampler
+(src/renderer/shadow_map.rs:190-205): CLAMP_TO_BORDER with a WHITE border, so
+out-of-map taps read depth 1.0 (never in shadow).
+
+The light-space -> [0,1]^3 mapping matches frag.frag:50-52 exactly, including
+its quirk of also remapping z by *0.5+0.5 (the reference's light projection
+already produces z in [0,1]; we reproduce the same arithmetic so shadow
+placement is bit-comparable).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather_quad(depth_map: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """textureGather on a (S, S) depth map at normalized (u, v).
+
+    Returns the 2x2 bilinear footprint texels, shape (..., 4). Out-of-bounds
+    texels read as 1.0 (white border).
+    """
+    s_y, s_x = depth_map.shape
+    px = u * s_x - 0.5
+    py = v * s_y - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    taps = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = (xi >= 0) & (xi < s_x) & (yi >= 0) & (yi < s_y)
+            xi_c = jnp.clip(xi, 0, s_x - 1)
+            yi_c = jnp.clip(yi, 0, s_y - 1)
+            d = depth_map[yi_c, xi_c]
+            taps.append(jnp.where(inb, d, 1.0))
+    return jnp.stack(taps, axis=-1)
+
+
+def shadow_pcf16(
+    shadow_map: jnp.ndarray,  # (S, S) light-space depth
+    frag_pos_light: jnp.ndarray,  # (..., 4) light-space clip position
+    normal: jnp.ndarray,  # (..., 3) geometric normal
+    light_dir: jnp.ndarray,  # (..., 3) or (3,) direction TOWARD light
+) -> jnp.ndarray:
+    """Fraction of the 16 PCF taps in shadow, 0..1 (frag.frag:48-88)."""
+    w = frag_pos_light[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    proj = frag_pos_light[..., :3] / safe_w[..., None]
+    proj = proj * 0.5 + 0.5
+    current = proj[..., 2]
+
+    ndl = jnp.sum(normal * light_dir, axis=-1)
+    bias = jnp.maximum(0.05 * (1.0 - ndl), 0.005)
+    compare = (current - bias)[..., None]
+
+    s = shadow_map.shape[0]
+    ts = 1.0 / s
+    u, v = proj[..., 0], proj[..., 1]
+    shadow = jnp.zeros_like(current)
+    for ox, oy in ((-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0), (1.0, 1.0)):
+        quad = gather_quad(shadow_map, u + ox * ts, v + oy * ts)
+        shadow = shadow + jnp.sum((compare > quad).astype(jnp.float32), axis=-1)
+    shadow = shadow / 16.0
+
+    # Outside the light frustum far plane -> no shadow (frag.frag:60-61).
+    return jnp.where(proj[..., 2] > 1.0, 0.0, shadow)

@@ -1,0 +1,114 @@
+"""Bindless texture pool + trilinear sampling.
+
+TPU-native replacement for the reference's bindless descriptor array
+(src/vulkan/descriptor_bindless.rs + `sampler2D textures[]` in
+shaders/frag.frag:42). All registered textures live in ONE flat HBM array of
+texels; a per-texture mip table stores (offset, width, height) per level. A
+"texture handle" is just an int32 index into the table — the same contract as
+the reference's bindless indices, including -1 = "no texture -> white"
+(frag.frag:125-127).
+
+Sampling implements the reference sampler state (texture.rs:313-327): REPEAT
+addressing, bilinear min/mag, LINEAR mipmap (trilinear). Anisotropic filtering
+(16x in the reference) is not implemented — documented gap; it only sharpens
+grazing-angle minification.
+
+Each bilinear fetch is 4 dynamic gathers from the flat texel array; trilinear
+is 8. Gathers vectorize over all pixels at once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TexturePool(NamedTuple):
+    """Flat bindless texture storage (device arrays)."""
+
+    texels: jnp.ndarray  # (TOTAL, 4) float32 linear RGBA
+    table: jnp.ndarray  # (N, MAX_MIPS, 3) int32: offset, width, height
+    levels: jnp.ndarray  # (N,) int32 mip count
+
+    @property
+    def num_textures(self) -> int:
+        return int(self.table.shape[0])
+
+
+def build_pool(mip_pyramids: list[list[np.ndarray]]) -> TexturePool:
+    """Pack per-texture mip pyramids ((H,W,4) float32 each) into a pool."""
+    if not mip_pyramids:
+        # Single white 1x1 placeholder so shapes stay static.
+        mip_pyramids = [[np.ones((1, 1, 4), np.float32)]]
+    max_mips = max(len(p) for p in mip_pyramids)
+    texel_rows = []
+    table = np.zeros((len(mip_pyramids), max_mips, 3), np.int64)
+    levels = np.zeros(len(mip_pyramids), np.int32)
+    offset = 0
+    for ti, pyramid in enumerate(mip_pyramids):
+        levels[ti] = len(pyramid)
+        for li, mip in enumerate(pyramid):
+            h, w = mip.shape[:2]
+            table[ti, li] = (offset, w, h)
+            texel_rows.append(mip.reshape(-1, 4).astype(np.float32))
+            offset += h * w
+    texels = np.concatenate(texel_rows, axis=0)
+    return TexturePool(
+        texels=jnp.asarray(texels),
+        table=jnp.asarray(table.astype(np.int32)),
+        levels=jnp.asarray(levels),
+    )
+
+
+def _bilinear_at_level(pool: TexturePool, idx, level, u, v):
+    """Bilinear fetch at an integer mip level. idx/level/u/v: (...,)."""
+    entry = pool.table[idx, level]  # (..., 3)
+    off, w, h = entry[..., 0], entry[..., 1], entry[..., 2]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    px = u * wf - 0.5
+    py = v * hf - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0.astype(jnp.float32))[..., None]
+    fy = (py - y0.astype(jnp.float32))[..., None]
+
+    def fetch(xi, yi):
+        # REPEAT addressing (texture.rs sampler REPEAT).
+        xw = jnp.where(w > 0, jnp.mod(xi, jnp.maximum(w, 1)), 0)
+        yw = jnp.where(h > 0, jnp.mod(yi, jnp.maximum(h, 1)), 0)
+        flat = off + yw * w + xw
+        return pool.texels[jnp.clip(flat, 0, pool.texels.shape[0] - 1)]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_trilinear(
+    pool: TexturePool,
+    idx: jnp.ndarray,  # (...,) int32 texture index, -1 => white
+    uv: jnp.ndarray,  # (..., 2)
+    lod: jnp.ndarray | None = None,  # (...,) float32 mip level; None => 0
+) -> jnp.ndarray:
+    """Sample with REPEAT + trilinear filtering. Returns (..., 4)."""
+    safe_idx = jnp.maximum(idx, 0)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    max_level = (pool.levels[safe_idx] - 1).astype(jnp.float32)
+    if lod is None:
+        lod = jnp.zeros_like(u)
+    lod = jnp.clip(lod, 0.0, max_level)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, pool.levels[safe_idx] - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    c0 = _bilinear_at_level(pool, safe_idx, l0, u, v)
+    c1 = _bilinear_at_level(pool, safe_idx, l1, u, v)
+    color = c0 * (1 - f) + c1 * f
+    return jnp.where((idx >= 0)[..., None], color, jnp.ones_like(color))

@@ -1,0 +1,63 @@
+"""Lighting feature: light types + config
+(reference src/renderer/features/lighting.rs:5-58).
+
+Unlike the reference — where GPU upload is a stub (lighting.rs:98-105) — the
+lights collected here feed the Forward+ light-culling pass and the shading
+kernel directly (render/frame.py point-light loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from .feature_trait import RenderFeature
+
+
+@dataclasses.dataclass
+class DirectionalLight:
+    direction: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([-0.5, -1.0, -0.3], np.float32)
+    )
+    color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    intensity: float = 1.0
+
+
+@dataclasses.dataclass
+class PointLight:
+    position: np.ndarray
+    color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    intensity: float = 1.0
+    radius: float = 10.0
+
+
+@dataclasses.dataclass
+class LightingConfig:
+    ambient: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.full(3, 0.1, np.float32)
+    )
+    max_point_lights: int = 1024
+
+
+class LightingFeature(RenderFeature):
+    def __init__(self, config: LightingConfig | None = None):
+        self.config = config or LightingConfig()
+        self.directional: DirectionalLight | None = DirectionalLight()
+        self.point_lights: List[PointLight] = []
+
+    def add_point_light(self, light: PointLight) -> int:
+        if len(self.point_lights) >= self.config.max_point_lights:
+            raise ValueError(
+                f"max {self.config.max_point_lights} point lights"
+            )
+        self.point_lights.append(light)
+        return len(self.point_lights) - 1
+
+    def clear_point_lights(self) -> None:
+        self.point_lights.clear()

@@ -1,0 +1,44 @@
+"""Shadow mapping feature (reference src/renderer/features/shadows.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..shadow_map import ShadowConfig, ShadowMapState
+from .feature_trait import FeatureFrameContext, RenderFeature
+
+
+class ShadowFeature(RenderFeature):
+    """Owns the shadow map state + light direction.
+
+    Defaults match shadows.rs:23-31: light dir normalize(-0.5, -1, -0.3),
+    scene center origin, radius 20. before_frame refreshes the light matrix
+    (shadows.rs:103-112).
+    """
+
+    def __init__(self, config: ShadowConfig | None = None):
+        self.shadow_map = ShadowMapState(config)
+        d = np.array([-0.5, -1.0, -0.3], np.float32)
+        self.light_direction = d / np.linalg.norm(d)
+        self.scene_center = np.zeros(3, np.float32)
+        self.scene_radius = 20.0
+
+    @property
+    def config(self) -> ShadowConfig:
+        return self.shadow_map.config
+
+    def set_light_direction(self, direction) -> None:
+        d = np.asarray(direction, np.float32)
+        self.light_direction = d / max(float(np.linalg.norm(d)), 1e-8)
+
+    def set_scene_bounds(self, center, radius: float) -> None:
+        self.scene_center = np.asarray(center, np.float32)
+        self.scene_radius = float(radius)
+
+    def light_space_matrix(self) -> np.ndarray:
+        return self.shadow_map.light_space_matrix
+
+    def before_frame(self, ctx: FeatureFrameContext) -> None:
+        self.shadow_map.update_light_matrix(
+            self.light_direction, self.scene_center, self.scene_radius
+        )

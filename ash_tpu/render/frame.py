@@ -1,0 +1,182 @@
+"""The frame program: one jitted function = one `render_frame`.
+
+TPU re-design of the reference's command-buffer recording
+(renderer.rs:1553-2041). Where Vulkan records shadow pass -> main pass ->
+present with barriers and fences, here the whole frame is a single pure
+function traced once per (resolution, scene-bucket, feature-set) and cached —
+the jit cache is our pipeline cache (reference pipeline_cache.rs), and a
+resize is just a different cache key (SURVEY §5.3's deferred-rebuild state
+machine collapses into re-specialization).
+
+Pass order inside the program (all fused/scheduled by XLA):
+  1. vertex stage               (ops/geometry.transform_vertices — MXU)
+  2. shadow raster, depth-only  (shared rasterizer, light matrix, cull FRONT
+                                 like the reference shadow pipeline,
+                                 renderer.rs:660)
+  3. main raster                (cull BACK, renderer.rs:599) -> visibility
+  4. G-buffer interpolation + PBR shade (ops/shade)
+  5. (post chain: bloom/tonemap/TAA — render/post.py, later stage)
+  6. pack to RGBA8
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import binning, geometry, raster
+from ..ops.shade import ShadeUniforms, interpolate_gbuffer, shade_flat, shade_pbr
+from ..ops.texture_sample import TexturePool
+from .scene import SceneBuffers
+
+
+class FrameUniforms(NamedTuple):
+    """Dynamic per-frame inputs (the reference's frame UBO, uniform.rs:11-22)."""
+
+    view_proj: jnp.ndarray  # (4, 4)
+    camera_pos: jnp.ndarray  # (3,)
+    light_direction: jnp.ndarray  # (3,)
+    light_color: jnp.ndarray  # (3,)
+    ambient_color: jnp.ndarray  # (3,)
+    light_space_matrix: jnp.ndarray  # (4, 4)
+    models: jnp.ndarray  # (D, 4, 4) per-draw model matrices
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static frame-function specialization key."""
+
+    width: int
+    height: int
+    tile_h: int = 32
+    tile_w: int = 128
+    max_tris_per_tile: int = 256
+    shadow_enabled: bool = True
+    shadow_resolution: int = 2048
+    shadow_tile: int = 128
+    shadow_max_tris_per_tile: int = 256
+    textured: bool = False
+    shading: str = "pbr"  # "pbr" | "flat"
+    reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
+    clear_color: tuple = (0.0, 0.0, 0.0)
+    # The reference swapchain is BGRA8_SRGB (swapchain.rs:81-88): shaders
+    # write linear, the display encodes. Our presented u8 applies the same
+    # encode so readback matches what a user of the reference sees.
+    srgb_output: bool = True
+
+
+class FrameOutputs(NamedTuple):
+    image: jnp.ndarray  # (H, W, 4) uint8
+    color: jnp.ndarray  # (H, W, 3) float32 (post-tonemap or HDR)
+    depth: jnp.ndarray  # (H, W) float32
+    shadow_map: Optional[jnp.ndarray]  # (S, S) or None
+    covered_pixels: jnp.ndarray  # () int32
+    binning_overflow: jnp.ndarray  # () int32
+
+
+def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
+    """Linear -> sRGB (the swapchain's UNORM_SRGB store)."""
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(
+        c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+    )
+
+
+def render_frame_program(
+    config: FrameConfig,
+    scene: SceneBuffers,
+    uni: FrameUniforms,
+    pool: Optional[TexturePool],
+) -> FrameOutputs:
+    """The pure frame function (trace-time `config`, runtime everything else)."""
+    cfg = config
+    tv = geometry.transform_vertices(
+        uni.models,
+        uni.view_proj,
+        scene.position,
+        scene.normal,
+        scene.tangent,
+        scene.vert_draw,
+    )
+
+    shadow_map = None
+    if cfg.shadow_enabled:
+        world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
+        clip_l = jnp.einsum(
+            "ij,vj->vi", uni.light_space_matrix, world4,
+            preferred_element_type=jnp.float32,
+        )
+        s = cfg.shadow_resolution
+        setup_s = geometry.triangle_setup(
+            clip_l, scene.tri_v, scene.tri_valid, s, s, cull_mode="front"
+        )
+        bins_s = binning.bin_triangles(
+            setup_s.bbox, setup_s.valid, s, s,
+            cfg.shadow_tile, cfg.shadow_tile,
+            cfg.shadow_max_tris_per_tile,
+        )
+        vis_s = raster.rasterize(
+            setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile
+        )
+        shadow_map = vis_s.depth
+
+    setup = geometry.triangle_setup(
+        tv.clip, scene.tri_v, scene.tri_valid, cfg.width, cfg.height,
+        cull_mode="back",
+    )
+    bins = binning.bin_triangles(
+        setup.bbox, setup.valid, cfg.height, cfg.width,
+        cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
+    )
+    vis = raster.rasterize(
+        setup, bins, cfg.height, cfg.width, cfg.tile_h, cfg.tile_w
+    )
+
+    gbuf = interpolate_gbuffer(
+        vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
+        scene.uv, scene.color,
+    )
+
+    if cfg.shading == "flat":
+        color = shade_flat(gbuf, clear_color=cfg.clear_color)
+    else:
+        color = shade_pbr(
+            gbuf,
+            scene.materials,
+            ShadeUniforms(
+                camera_pos=uni.camera_pos,
+                light_direction=uni.light_direction,
+                light_color=uni.light_color,
+                ambient_color=uni.ambient_color,
+                light_space_matrix=uni.light_space_matrix,
+            ),
+            shadow_map=shadow_map,
+            pool=pool if cfg.textured else None,
+            clear_color=cfg.clear_color,
+            reinhard=cfg.reinhard,
+        )
+
+    encoded = _srgb_encode(color) if cfg.srgb_output else color
+    rgb_u8 = jnp.clip(encoded * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    alpha = jnp.full((cfg.height, cfg.width, 1), 255, jnp.uint8)
+    image = jnp.concatenate([rgb_u8, alpha], axis=-1)
+
+    return FrameOutputs(
+        image=image,
+        color=color,
+        depth=vis.depth,
+        shadow_map=shadow_map,
+        covered_pixels=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
+        binning_overflow=bins.overflow,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_frame(config: FrameConfig):
+    """Jitted frame program for a config (the "pipeline cache" entry)."""
+    fn = functools.partial(render_frame_program, config)
+    return jax.jit(fn)

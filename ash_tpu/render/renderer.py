@@ -1,0 +1,343 @@
+"""Renderer — the high-level API object.
+
+TPU-native re-design of the reference Renderer (src/renderer/renderer.rs).
+The public surface is preserved — `set_mesh`, `material_mut`,
+`register_mesh_handle` / `register_material_handle` /
+`register_mesh_descriptor`, `submit_render_commands`,
+`render_frame(view, proj, camera_pos)`, `request_swapchain_resize` — but the
+2300-line Vulkan boot sequence (renderer.rs:285-813) collapses: there is no
+instance/device/swapchain/descriptor machinery to create. State is:
+
+- host registries (meshes, materials, handles, draw list),
+- a bindless texture manager (render/bindless.py),
+- packed scene buffers rebuilt lazily on scene edits (render/scene.py),
+- a cache of jitted frame programs keyed by FrameConfig (render/frame.py) —
+  the analog of the reference's pipeline + pipeline cache,
+- the feature manager (shadows/auto-rotate/...).
+
+Sync objects disappear: JAX dispatch is async, `read_back()` is the fence.
+A resize is observed at frame start and simply selects a different jit cache
+entry (reference: the SwapchainOutOfDate -> recreate dance,
+renderer.rs:1093-1545).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.material import Material
+from ..core.mesh import Mesh, MeshDescriptor
+from ..core.transform import Transform
+from ..core.uniform import MaterialUniform
+from ..errors import InvalidOperation
+from .bindless import BindlessTextureManager
+from .features import (
+    AutoRotateFeature,
+    FeatureFrameContext,
+    FeatureManager,
+    ShadowFeature,
+)
+from .frame import FrameConfig, FrameOutputs, FrameUniforms, compiled_frame
+from .scene import BuiltScene, DrawItem, build_models, build_scene
+from .surface import SurfaceProvider
+
+# The reference's hardcoded frame lighting (renderer.rs:1647-1649).
+FRAME_LIGHT_DIR = np.array([-0.35, -1.0, -0.25], np.float32)
+FRAME_LIGHT_COLOR = np.full(3, 1.5, np.float32)
+FRAME_AMBIENT = np.full(3, 0.35, np.float32)
+
+
+@dataclasses.dataclass
+class RendererConfig:
+    """Construction-time knobs (reference RendererConfig/PipelineConfig,
+    renderer.rs:147-181, plus TPU-specific tiling parameters)."""
+
+    tile_h: int = 32
+    tile_w: int = 128
+    max_tris_per_tile: int = 256
+    shadows_enabled: bool = True
+    shadow_resolution: int = 2048
+    shadow_tile: int = 128
+    shadow_max_tris_per_tile: int = 256
+    shading: str = "pbr"
+    clear_color: tuple = (0.0, 0.0, 0.0)
+    debug: bool = False  # enables jax nan-debugging (the "validation layer")
+
+
+@dataclasses.dataclass
+class RenderCommand:
+    """One submitted draw (reference RenderCommand, renderer.rs:41-50)."""
+
+    mesh: int  # mesh handle
+    transform: np.ndarray  # (4, 4) model matrix
+    material: Optional[int] = None  # material handle
+
+
+class Renderer:
+    def __init__(self, surface: SurfaceProvider, config: Optional[RendererConfig] = None):
+        self.surface = surface
+        self.config = config or RendererConfig()
+        if self.config.debug:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
+
+        self._width, self._height = surface.physical_size()
+
+        # Registries (reference renderer.rs:215-218, 252-260).
+        self.mesh_registry: Dict[str, Mesh] = {}
+        self.mesh_handles: Dict[int, str] = {}
+        self.material_handles: Dict[int, Material] = {}
+        self.draw_items: List[DrawItem] = []
+
+        self.bindless = BindlessTextureManager()
+
+        # Single-mesh convenience path (reference seeds a default cube,
+        # renderer.rs:678; we stay empty until set_mesh for a cheaper boot —
+        # render_frame on an empty scene presents the clear color).
+        self.transform = Transform.identity()
+        self._material = Material()
+        self._single_mesh_key: Optional[str] = None
+
+        self.feature_manager = FeatureManager()
+        self.shadow_feature = ShadowFeature()
+        self.feature_manager.add(AutoRotateFeature(), self)
+        self.feature_manager.add(self.shadow_feature, self)
+
+        self.auto_rotate = False
+        self._scene: Optional[BuiltScene] = None
+        self._scene_dirty = True
+        self._pending_resize: Optional[tuple] = None
+        self._last_outputs: Optional[FrameOutputs] = None
+        self.frame_count = 0
+        self._start_time = time.perf_counter()
+        self._last_frame_time = self._start_time
+
+    # ------------------------------------------------------------------
+    # Scene registration (reference renderer.rs:823-1091)
+    # ------------------------------------------------------------------
+
+    def _register_mesh(self, mesh: Mesh) -> str:
+        """Upload-equivalent: record the mesh and assign bindless indices for
+        its texture maps (reference renderer.rs:846-878 + mesh.ensure_texture)."""
+        for attr, idx_attr, srgb in (
+            ("texture_data", "texture_index", True),
+            ("normal_texture_data", "normal_texture_index", False),
+            ("metallic_roughness_texture_data", "metallic_roughness_texture_index", False),
+            ("occlusion_texture_data", "occlusion_texture_index", False),
+            ("emissive_texture_data", "emissive_texture_index", True),
+        ):
+            data = getattr(mesh, attr)
+            if data is not None and getattr(mesh, idx_attr) is None:
+                data.srgb = srgb
+                setattr(mesh, idx_attr, self.bindless.add_sampled_image(data))
+        self.mesh_registry[mesh.name] = mesh
+        self._scene_dirty = True
+        return mesh.name
+
+    def set_mesh(self, mesh: Mesh) -> None:
+        """Single-mesh path (reference renderer.rs:823-913)."""
+        self._single_mesh_key = self._register_mesh(mesh)
+        self.draw_items = []  # rebuilt per-frame from (mesh, transform, material)
+        self._scene_dirty = True
+
+    def material_mut(self) -> Material:
+        """Mutable material of the single-mesh path. The packed row is
+        rebuilt every frame, so in-place edits take effect immediately."""
+        return self._material
+
+    def set_material(self, material: Material) -> None:
+        self._material = material
+
+    def register_mesh_handle(self, handle: int, mesh: Mesh) -> None:
+        self.mesh_handles[int(handle)] = self._register_mesh(mesh)
+
+    def register_mesh_descriptor(self, handle: int, desc: MeshDescriptor) -> None:
+        self.register_mesh_handle(handle, Mesh.from_descriptor(desc))
+
+    def register_material_handle(self, handle: int, material: Material) -> None:
+        self.material_handles[int(handle)] = material
+
+    def submit_render_commands(self, commands: Sequence[RenderCommand]) -> None:
+        """Build the draw list from commands.
+
+        Unlike the reference — whose submit path loses texture bindings
+        (texture_indices forced to -1 with a FIXME, renderer.rs:1035-1061) —
+        we resolve each mesh's registered bindless indices, so textured draws
+        work through this path too. An empty list falls back to the single
+        mesh, matching renderer.rs:1066-1090.
+        """
+        items: List[DrawItem] = []
+        for cmd in commands:
+            key = self.mesh_handles.get(int(cmd.mesh))
+            if key is None:
+                raise InvalidOperation(f"unknown mesh handle {cmd.mesh}")
+            mesh = self.mesh_registry[key]
+            material = (
+                self.material_handles.get(int(cmd.material))
+                if cmd.material is not None
+                else None
+            ) or Material()
+            items.append(
+                DrawItem(
+                    mesh_key=key,
+                    model=np.asarray(cmd.transform, np.float32),
+                    material=self._material_uniform(material, mesh),
+                )
+            )
+        self.draw_items = items
+        self._scene_dirty = True
+
+    @staticmethod
+    def _material_uniform(material: Material, mesh: Mesh) -> MaterialUniform:
+        def idx(v):
+            return -1 if v is None else int(v)
+
+        return MaterialUniform(
+            base_color_factor=np.asarray(material.color, np.float32),
+            emissive_factor=np.asarray(material.emissive, np.float32),
+            params=np.array(
+                [
+                    material.metallic,
+                    material.roughness,
+                    material.occlusion_strength,
+                    material.normal_scale,
+                ],
+                np.float32,
+            ),
+            base_color_index=idx(mesh.texture_index),
+            normal_map_index=idx(mesh.normal_texture_index),
+            metallic_roughness_index=idx(mesh.metallic_roughness_texture_index),
+            occlusion_index=idx(mesh.occlusion_texture_index),
+            emissive_index=idx(mesh.emissive_texture_index),
+        )
+
+    # ------------------------------------------------------------------
+    # Resize (reference renderer.rs:1093-1545)
+    # ------------------------------------------------------------------
+
+    def request_swapchain_resize(self, width: int, height: int) -> None:
+        self._pending_resize = (int(width), int(height))
+
+    def _resize_if_needed(self) -> None:
+        size = self._pending_resize or self.surface.physical_size()
+        self._pending_resize = None
+        if size != (self._width, self._height):
+            # Re-specialization happens implicitly via the FrameConfig key.
+            self._width, self._height = size
+
+    # ------------------------------------------------------------------
+    # Frame loop (reference renderer.rs:1553-2041)
+    # ------------------------------------------------------------------
+
+    def _current_draw_items(self) -> List[DrawItem]:
+        if self.draw_items:
+            return self.draw_items
+        if self._single_mesh_key is None:
+            return []
+        mesh = self.mesh_registry[self._single_mesh_key]
+        return [
+            DrawItem(
+                mesh_key=self._single_mesh_key,
+                model=self.transform.model_matrix(),
+                material=self._material_uniform(self._material, mesh),
+            )
+        ]
+
+    def _frame_config(self, textured: bool) -> FrameConfig:
+        c = self.config
+        return FrameConfig(
+            width=self._width,
+            height=self._height,
+            tile_h=c.tile_h,
+            tile_w=c.tile_w,
+            max_tris_per_tile=c.max_tris_per_tile,
+            shadow_enabled=c.shadows_enabled,
+            shadow_resolution=c.shadow_resolution,
+            shadow_tile=c.shadow_tile,
+            shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,
+            textured=textured,
+            shading=c.shading,
+            clear_color=tuple(c.clear_color),
+        )
+
+    def render_frame(self, view: np.ndarray, proj: np.ndarray, camera_pos) -> FrameOutputs:
+        """Render + present one frame (reference renderer.rs:1553-2041)."""
+        now = time.perf_counter()
+        dt = now - self._last_frame_time
+        self._last_frame_time = now
+
+        self._resize_if_needed()
+
+        items = self._current_draw_items()
+        if not items:
+            raise InvalidOperation(
+                "no mesh: call set_mesh or submit_render_commands first"
+            )
+
+        # Feature hooks (reference renderer.rs:1631-1638).
+        ctx = FeatureFrameContext(
+            delta_time=dt,
+            elapsed=now - self._start_time,
+            auto_rotate=self.auto_rotate,
+            transform=self.transform,
+        )
+        self.feature_manager.before_frame(ctx)
+
+        # Scene buffers (geometry rebuilt lazily; materials refresh per frame
+        # because Material objects are mutable through material_mut()).
+        if self._scene_dirty or self._scene is None or (
+            self._scene.num_draws != len(items)
+        ):
+            self._scene = build_scene(items, self.mesh_registry)
+            self._scene_dirty = False
+        else:
+            import jax.numpy as jnp
+
+            mats = np.zeros_like(np.asarray(self._scene.buffers.materials))
+            for i, it in enumerate(items):
+                mats[i] = it.packed_material()
+            self._scene = dataclasses.replace(
+                self._scene,
+                buffers=self._scene.buffers._replace(materials=jnp.asarray(mats)),
+            )
+
+        view = np.asarray(view, np.float32)
+        proj = np.asarray(proj, np.float32)
+        light_dir = FRAME_LIGHT_DIR / np.linalg.norm(FRAME_LIGHT_DIR)
+        models = build_models(items, self._scene.buffers.num_draws)
+        uni = FrameUniforms(
+            view_proj=proj @ view,
+            camera_pos=np.asarray(camera_pos, np.float32).reshape(3),
+            light_direction=light_dir,
+            light_color=FRAME_LIGHT_COLOR,
+            ambient_color=FRAME_AMBIENT,
+            light_space_matrix=self.shadow_feature.light_space_matrix(),
+            models=models,
+        )
+
+        pool = self.bindless.pool()
+        config = self._frame_config(textured=pool is not None)
+        frame_fn = compiled_frame(config)
+        outputs = frame_fn(self._scene.buffers, uni, pool)
+
+        self.surface.present(outputs.image)
+        self._last_outputs = outputs
+        self.frame_count += 1
+        return outputs
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    def last_outputs(self) -> Optional[FrameOutputs]:
+        return self._last_outputs
+
+    def read_back(self) -> Optional[np.ndarray]:
+        if self._last_outputs is None:
+            return None
+        return np.asarray(self._last_outputs.image)

@@ -1,0 +1,120 @@
+"""End-to-end headless renders: the 01/02 example configs from BASELINE.json."""
+
+import numpy as np
+import pytest
+
+from ash_tpu import Material, Mesh
+from ash_tpu.core.transform import Camera
+from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+
+def _camera(w, h, pos=(0, 2, 5)):
+    cam = Camera.new(np.asarray(pos, np.float32), [0, 0, 0], w / h)
+    return cam.view_matrix(), cam.projection_matrix(), cam.position
+
+
+@pytest.fixture(scope="module")
+def cube_render():
+    """Render one 02_cube-style frame at 160x120 (module-scoped: jit once)."""
+    surface = HeadlessSurface(160, 120)
+    r = Renderer(
+        surface,
+        RendererConfig(
+            tile_h=8, tile_w=32, max_tris_per_tile=32,
+            shadow_resolution=128, shadow_tile=32,
+            shadow_max_tris_per_tile=32,
+        ),
+    )
+    cube = Mesh.create_cube()
+    r.set_mesh(cube)
+    r.set_material(Material(color=(0.8, 0.2, 0.2, 1.0), metallic=0.5, roughness=0.5))
+    view, proj, pos = _camera(160, 120)
+    out = r.render_frame(view, proj, pos)
+    return r, surface, out
+
+
+def test_cube_renders_red_ish_center(cube_render):
+    _, surface, _ = cube_render
+    img = surface.read_back()
+    assert img.shape == (120, 160, 4) and img.dtype == np.uint8
+    center = img[60, 80]
+    # Red cube under white-ish light: red channel dominates.
+    assert center[0] > center[2] and center[0] > 40, center
+    assert center[3] == 255
+    # Background is the black clear color.
+    assert tuple(img[2, 2][:3]) == (0, 0, 0)
+
+
+def test_cube_coverage_and_depth(cube_render):
+    r, _, out = cube_render
+    depth = np.asarray(out.depth)
+    covered = int(out.covered_pixels)
+    assert 0.05 * 120 * 160 < covered < 0.95 * 120 * 160
+    assert depth.min() > 0.0 and depth.max() == 1.0
+    assert int(out.binning_overflow) == 0
+
+
+def test_shadow_map_rendered(cube_render):
+    _, _, out = cube_render
+    sm = np.asarray(out.shadow_map)
+    assert sm.shape == (128, 128)
+    # The cube occupies some of the light's view.
+    assert (sm < 1.0).mean() > 0.001
+    assert sm.min() >= 0.0
+
+
+def test_second_frame_reuses_jit_and_rotates(cube_render):
+    r, surface, _ = cube_render
+    view, proj, pos = _camera(160, 120)
+    r.transform.rotate([0.0, 0.7, 0.0])
+    out2 = r.render_frame(view, proj, pos)
+    img2 = surface.read_back()
+    assert r.frame_count == 2
+    assert img2.shape == (120, 160, 4)
+
+
+def test_material_mut_changes_output():
+    surface = HeadlessSurface(96, 96)
+    r = Renderer(
+        surface,
+        RendererConfig(
+            tile_h=8, tile_w=32, max_tris_per_tile=32,
+            shadows_enabled=False,
+        ),
+    )
+    r.set_mesh(Mesh.create_cube())
+    view, proj, pos = _camera(96, 96)
+    r.material_mut().color = (1.0, 0.0, 0.0, 1.0)
+    a = np.asarray(r.render_frame(view, proj, pos).color)
+    r.material_mut().color = (0.0, 0.0, 1.0, 1.0)
+    b = np.asarray(r.render_frame(view, proj, pos).color)
+    ca, cb = a[48, 48], b[48, 48]
+    assert ca[0] > ca[2] and cb[2] > cb[0]
+
+
+def test_render_without_mesh_raises():
+    from ash_tpu.errors import InvalidOperation
+
+    r = Renderer(HeadlessSurface(32, 32))
+    view, proj, pos = _camera(32, 32)
+    with pytest.raises(InvalidOperation):
+        r.render_frame(view, proj, pos)
+
+
+def test_flat_shading_triangle_example():
+    """01_triangle-style: flat vertex colors, no lighting."""
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(
+            tile_h=8, tile_w=32, max_tris_per_tile=16,
+            shadows_enabled=False, shading="flat",
+        ),
+    )
+    r.set_mesh(Mesh.create_cube())
+    view, proj, pos = _camera(64, 64, pos=(0, 0, 5))
+    r.render_frame(view, proj, pos)
+    img = surface.read_back()
+    c = img[32, 32]
+    # Front face is pure red vertex color.
+    assert c[0] > 200 and c[1] < 30 and c[2] < 30
