@@ -39,6 +39,7 @@ def bin_triangles(
     tile_h: int,
     tile_w: int,
     max_per_tile: int,
+    y0=0,
 ) -> TileBins:
     """Build per-tile triangle lists from conservative bbox/tile overlap.
 
@@ -46,16 +47,22 @@ def bin_triangles(
     by how much the worst tile exceeded `max_per_tile` (those triangles are
     dropped — callers surface this through diagnostics, see
     render_stats.CullingStats).
+
+    `y0`: global framebuffer row of this band's first tile row — bboxes stay
+    in global coordinates, the grid covers [y0, y0 + height).
     """
     t = bbox.shape[0]
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
 
+    # Triangles entirely outside the band contribute nothing.
+    valid = valid & (bbox[:, 3] >= y0) & (bbox[:, 1] < y0 + height)
+
     # Tile index ranges covered by each bbox (inclusive), clamped to the grid.
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, tx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h), 0, ty - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((bbox[:, 1] - y0) / tile_h), 0, ty - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(bbox[:, 2] / tile_w), 0, tx - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bbox[:, 3] / tile_h), 0, ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((bbox[:, 3] - y0) / tile_h), 0, ty - 1).astype(jnp.int32)
 
     tile_row = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0) // tx
     tile_col = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0) % tx

@@ -58,11 +58,15 @@ def _gather_tile_tris(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray
     return flat
 
 
-def _pixel_centers(num_tiles: int, tx: int, tile_h: int, tile_w: int):
-    """Framebuffer-space pixel-center coordinates per tile: (num_tiles, TH, TW)."""
+def _pixel_centers(num_tiles: int, tx: int, tile_h: int, tile_w: int, y0=0):
+    """Framebuffer-space pixel-center coordinates per tile: (num_tiles, TH, TW).
+
+    `y0` offsets the band's first row to GLOBAL framebuffer coordinates —
+    used when the tile grid is sharded across devices (parallel/sharded.py).
+    """
     tile_idx = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1, 1), 0)
     base_x = (tile_idx % tx) * tile_w
-    base_y = (tile_idx // tx) * tile_h
+    base_y = (tile_idx // tx) * tile_h + y0
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
     px = (base_x + ix).astype(jnp.float32) + 0.5
@@ -121,19 +125,27 @@ def rasterize(
     tile_h: int,
     tile_w: int,
     unroll: int = 8,
+    y0=0,
 ) -> VisibilityBuffer:
     """Scan-based rasterizer: one triangle per tile per scan step.
 
     The scan carry is the tiled (depth, tri_id) visibility buffer; each step
     tests scan slot k of every tile simultaneously — a dense (num_tiles,
     TH, TW) VPU op. Depth LESS keeps the first (lowest-id) triangle on ties.
+
+    `y0`: global framebuffer row of this band's first row (screen-space
+    sharding); `height`/`width` then describe the local band.
     """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
     k = bins.tri_ids.shape[1]
 
     tile_data = _gather_tile_tris(setup, bins.tri_ids)  # (num_tiles, K, 10)
-    px, py = _pixel_centers(num_tiles, tx, tile_h, tile_w)
+    # Force materialization: without the barrier XLA may fuse this gather into
+    # the scan body and re-execute it on every one of K steps (measured 10x+
+    # slowdown on TPU for the full frame program).
+    tile_data = jax.lax.optimization_barrier(tile_data)
+    px, py = _pixel_centers(num_tiles, tx, tile_h, tile_w, y0)
 
     zbuf0 = jnp.ones((num_tiles, tile_h, tile_w), jnp.float32)
     tid0 = jnp.full((num_tiles, tile_h, tile_w), -1, jnp.int32)

@@ -1,0 +1,169 @@
+"""Pallas TPU rasterizer kernel.
+
+Same semantics as ops/raster.rasterize (the jnp scan oracle), but built for
+the hardware:
+
+- grid = one program per screen tile; the (depth, tri-id) buffers for the
+  tile live in VMEM for the whole triangle loop — the scan version instead
+  round-trips the full framebuffer through HBM on every one of K steps;
+- the per-tile triangle COUNT is scalar-prefetched (SMEM), so each tile
+  early-exits after its real triangle list instead of always paying for the
+  K-slot capacity — on typical scenes most tiles hold a small fraction of K;
+- the triangle loop body is pure VPU work: two edge-function evaluations +
+  depth interpolation over the (TILE_H, TILE_W) pixel block, then a masked
+  select into the VMEM visibility buffer.
+
+Tile data layout: (num_tiles, K, 16) float32 — x0 y0 x1 y1 x2 y2 z0 z1 z2
+area2 tri_id(bitcast) [pad] — gathered by XLA before the kernel (a dense
+gather XLA does well; the kernel then streams it tile-block by tile-block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TileBins, grid_shape
+from .geometry import TriangleSetup
+from .raster import VisibilityBuffer, untile
+
+_ROW = 16  # padded per-triangle record width (lane-friendly)
+
+
+def _pack_tile_data(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
+    """(num_tiles, K, 16) packed per-slot triangle records; empty slots get
+    tri_id -1 and zero geometry."""
+    ids = jnp.maximum(tri_ids, 0)
+    xy = setup.xy[ids].reshape(*ids.shape, 6)
+    z = setup.z[ids]
+    area2 = setup.area2[ids][..., None]
+    # Triangle ids ride as float32 (exact for ids < 2^24; binning caps T well
+    # below that) — scalar bitcasts are not supported by Mosaic.
+    fid = tri_ids.astype(jnp.float32)[..., None]
+    pad = jnp.zeros((*ids.shape, _ROW - 11), jnp.float32)
+    return jnp.concatenate([xy, z, area2, fid, pad], axis=-1)
+
+
+def _raster_kernel(
+    counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
+    data_ref,  # VMEM (1, K, 16)
+    z_ref,  # VMEM (1, TH, TW) out
+    tid_ref,  # VMEM (1, TH, TW) out int32
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    y0: int,
+):
+    tile = pl.program_id(0)
+    base_x = (tile % tiles_x) * tile_w
+    base_y = (tile // tiles_x) * tile_h + y0
+    px = (
+        base_x + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    ).astype(jnp.float32) + 0.5
+    py = (
+        base_y + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    ).astype(jnp.float32) + 0.5
+
+    z_ref[0] = jnp.ones((tile_h, tile_w), jnp.float32)
+    tid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    count = counts_ref[tile]
+
+    def loop(k, _):
+        row = data_ref[0, k]
+        x0 = row[0]
+        y0v = row[1]
+        x1 = row[2]
+        y1v = row[3]
+        x2 = row[4]
+        y2v = row[5]
+        z0 = row[6]
+        z1 = row[7]
+        z2 = row[8]
+        area2 = row[9]
+        tri = row[10].astype(jnp.int32)
+
+        inv_area = 1.0 / jnp.where(area2 == 0.0, 1.0, area2)
+        e0 = (x2 - x1) * (py - y1v) - (y2v - y1v) * (px - x1)
+        e1 = (x0 - x2) * (py - y2v) - (y0v - y2v) * (px - x2)
+        lam0 = e0 * inv_area
+        lam1 = e1 * inv_area
+        lam2 = 1.0 - lam0 - lam1
+        z = lam0 * z0 + lam1 * z1 + lam2 * z2
+        zbuf = z_ref[0]
+        m = (
+            (lam0 >= 0.0)
+            & (lam1 >= 0.0)
+            & (lam2 >= 0.0)
+            & (area2 != 0.0)
+            & (tri >= 0)
+            & (z >= 0.0)
+            & (z <= 1.0)
+            & (z < zbuf)
+        )
+        z_ref[0] = jnp.where(m, z, zbuf)
+        tid_ref[0] = jnp.where(m, tri, tid_ref[0])
+        return 0
+
+    jax.lax.fori_loop(0, count, loop, 0)
+
+
+def rasterize_pallas(
+    setup: TriangleSetup,
+    bins: TileBins,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    y0: int = 0,
+    interpret: bool = False,
+) -> VisibilityBuffer:
+    """Pallas visibility-buffer rasterizer (TPU). See module docstring."""
+    ty, tx = grid_shape(height, width, tile_h, tile_w)
+    num_tiles = ty * tx
+    k = bins.tri_ids.shape[1]
+
+    tile_data = _pack_tile_data(setup, bins.tri_ids)
+
+    kernel = functools.partial(
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tx, y0=y0
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, k, _ROW), lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    zbuf, tid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bins.counts, tile_data)
+
+    return VisibilityBuffer(
+        depth=untile(zbuf, height, width, tile_h, tile_w),
+        tri_id=untile(tid, height, width, tile_h, tile_w),
+    )

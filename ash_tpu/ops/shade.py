@@ -106,6 +106,7 @@ def interpolate_gbuffer(
     verts: TransformedVerts,
     vert_uv: jnp.ndarray,  # (V, 2)
     vert_color: jnp.ndarray,  # (V, 3)
+    y0=0,  # global framebuffer row of this band (screen-space sharding)
 ) -> GBuffer:
     h, w = tri_id.shape
     mask = tri_id >= 0
@@ -116,7 +117,9 @@ def interpolate_gbuffer(
     inv_w = setup.inv_w[t]
 
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) + 0.5
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
+    ).astype(jnp.float32) + 0.5
 
     def weights_at(px_, py_):
         lam = barycentrics(xy, area2, px_, py_)

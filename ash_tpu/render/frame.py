@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import binning, geometry, raster
+from ..ops.raster_pallas import rasterize_pallas
 from ..ops.shade import ShadeUniforms, interpolate_gbuffer, shade_flat, shade_pbr
 from ..ops.texture_sample import TexturePool
 from .scene import SceneBuffers
@@ -67,6 +68,9 @@ class FrameConfig:
     # write linear, the display encodes. Our presented u8 applies the same
     # encode so readback matches what a user of the reference sees.
     srgb_output: bool = True
+    # Rasterizer backend: the Pallas kernel (ops/raster_pallas.py) on TPU,
+    # the jnp scan oracle elsewhere.
+    use_pallas: bool = False
 
 
 class FrameOutputs(NamedTuple):
@@ -84,6 +88,10 @@ def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(
         c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
     )
+
+
+def _raster(cfg: "FrameConfig"):
+    return rasterize_pallas if cfg.use_pallas else raster.rasterize
 
 
 def render_frame_program(
@@ -119,7 +127,7 @@ def render_frame_program(
             cfg.shadow_tile, cfg.shadow_tile,
             cfg.shadow_max_tris_per_tile,
         )
-        vis_s = raster.rasterize(
+        vis_s = _raster(cfg)(
             setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile
         )
         shadow_map = vis_s.depth
@@ -132,7 +140,7 @@ def render_frame_program(
         setup.bbox, setup.valid, cfg.height, cfg.width,
         cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
     )
-    vis = raster.rasterize(
+    vis = _raster(cfg)(
         setup, bins, cfg.height, cfg.width, cfg.tile_h, cfg.tile_w
     )
 

@@ -66,6 +66,8 @@ class RendererConfig:
     shading: str = "pbr"
     clear_color: tuple = (0.0, 0.0, 0.0)
     debug: bool = False  # enables jax nan-debugging (the "validation layer")
+    # None = auto: Pallas raster kernel on TPU, jnp scan elsewhere.
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -111,6 +113,7 @@ class Renderer:
         self.auto_rotate = False
         self._scene: Optional[BuiltScene] = None
         self._scene_dirty = True
+        self._single_mat_row: Optional[np.ndarray] = None
         self._pending_resize: Optional[tuple] = None
         self._last_outputs: Optional[FrameOutputs] = None
         self.frame_count = 0
@@ -250,7 +253,14 @@ class Renderer:
 
     def _frame_config(self, textured: bool) -> FrameConfig:
         c = self.config
+        if c.use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() != "cpu"
+        else:
+            use_pallas = c.use_pallas
         return FrameConfig(
+            use_pallas=use_pallas,
             width=self._width,
             height=self._height,
             tile_h=c.tile_h,
@@ -288,23 +298,31 @@ class Renderer:
         )
         self.feature_manager.before_frame(ctx)
 
-        # Scene buffers (geometry rebuilt lazily; materials refresh per frame
-        # because Material objects are mutable through material_mut()).
+        # Scene buffers: geometry + materials rebuilt lazily on scene edits.
+        # The single-mesh path additionally refreshes its one material row
+        # when material_mut() edits changed it (cheap: one pack + compare).
         if self._scene_dirty or self._scene is None or (
             self._scene.num_draws != len(items)
         ):
             self._scene = build_scene(items, self.mesh_registry)
             self._scene_dirty = False
-        else:
-            import jax.numpy as jnp
-
-            mats = np.zeros_like(np.asarray(self._scene.buffers.materials))
-            for i, it in enumerate(items):
-                mats[i] = it.packed_material()
-            self._scene = dataclasses.replace(
-                self._scene,
-                buffers=self._scene.buffers._replace(materials=jnp.asarray(mats)),
+            self._single_mat_row = (
+                items[0].packed_material() if self._single_mesh_key else None
             )
+        elif not self.draw_items and self._single_mesh_key is not None:
+            row = items[0].packed_material()
+            if not np.array_equal(row, self._single_mat_row):
+                import jax.numpy as jnp
+
+                mats = np.asarray(self._scene.buffers.materials).copy()
+                mats[0] = row
+                self._scene = dataclasses.replace(
+                    self._scene,
+                    buffers=self._scene.buffers._replace(
+                        materials=jnp.asarray(mats)
+                    ),
+                )
+                self._single_mat_row = row
 
         view = np.asarray(view, np.float32)
         proj = np.asarray(proj, np.float32)

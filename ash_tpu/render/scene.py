@@ -168,6 +168,8 @@ def build_scene(
 def build_models(draw_items: List[DrawItem], num_draws_padded: int) -> np.ndarray:
     """(D_pad, 4, 4) model matrices for the current frame (identity pad)."""
     out = np.tile(np.eye(4, dtype=np.float32), (num_draws_padded, 1, 1))
-    for i, item in enumerate(draw_items):
-        out[i] = np.asarray(item.model, np.float32)
+    if draw_items:
+        out[: len(draw_items)] = np.stack(
+            [np.asarray(it.model, np.float32) for it in draw_items]
+        )
     return out

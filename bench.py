@@ -1,0 +1,151 @@
+"""Benchmark: 1080p, 1000-object instanced PBR scene, one TPU chip.
+
+Matches BASELINE.json's headline metric ("FPS @ 1080p on 1000-object instanced
+scene") and the reference's published target of 60+ FPS / <16.6 ms
+(reference README table, BASELINE.md). Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+vs_baseline is FPS / 60 (the reference's achieved target on desktop GPU).
+
+Run on the default JAX platform (the tunneled TPU chip under the driver);
+`--cpu --small` gives a quick correctness smoke on CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_bench_renderer(width, height, n_objects, shadow_resolution=2048):
+    from ash_tpu import Material, Mesh
+    from ash_tpu.render import (
+        HeadlessSurface,
+        RenderCommand,
+        Renderer,
+        RendererConfig,
+    )
+
+    surface = HeadlessSurface(width, height)
+    cfg = RendererConfig(shadow_resolution=shadow_resolution)
+    if height < 512:  # small smoke config
+        cfg = RendererConfig(
+            tile_h=8, tile_w=32, max_tris_per_tile=64,
+            shadow_resolution=256, shadow_tile=64, shadow_max_tris_per_tile=64,
+        )
+    r = Renderer(surface, cfg)
+
+    cube = Mesh.create_cube()
+    r.register_mesh_handle(0, cube)
+
+    rng = np.random.default_rng(7)
+    side = int(round(n_objects ** (1 / 3)))
+    while side**3 < n_objects:
+        side += 1
+    commands = []
+    mat_id = 1
+    for i in range(n_objects):
+        z, rem = divmod(i, side * side)
+        y, x = divmod(rem, side)
+        pos = (np.array([x, y, z], np.float32) - (side - 1) / 2) * 3.0
+        scale = 0.4 + 0.4 * rng.random()
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] *= scale
+        m[:3, 3] = pos
+        mat = Material(
+            color=(float(0.3 + 0.7 * rng.random()),
+                   float(0.3 + 0.7 * rng.random()),
+                   float(0.3 + 0.7 * rng.random()), 1.0),
+            metallic=float(rng.random()),
+            roughness=float(0.2 + 0.8 * rng.random()),
+        )
+        r.register_material_handle(mat_id, mat)
+        commands.append(RenderCommand(mesh=0, transform=m, material=mat_id))
+        mat_id += 1
+    r.submit_render_commands(commands)
+
+    # Fit the shadow volume to the scene like an application would.
+    extent = side * 3.0
+    r.shadow_feature.set_scene_bounds([0, 0, 0], extent)
+
+    from ash_tpu.core.transform import Camera
+
+    cam = Camera.new(
+        position=np.array([extent * 1.1, extent * 0.8, extent * 1.3], np.float32),
+        target=np.zeros(3, np.float32),
+        aspect=width / height,
+    )
+    cam.far = extent * 6.0
+    return r, surface, cam
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--small", action="store_true", help="160x120, 27 objects")
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--objects", type=int, default=1000)
+    ap.add_argument("--save", type=str, default=None, help="save last frame PNG")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.small:
+        width, height, n_obj = 160, 120, 27
+    else:
+        width, height, n_obj = 1920, 1080, args.objects
+
+    import jax
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    r, surface, cam = build_bench_renderer(width, height, n_obj)
+    view, proj = cam.view_matrix(), cam.projection_matrix()
+    print(f"scene build: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+
+    # Warmup (includes jit compile).
+    t0 = time.perf_counter()
+    out = r.render_frame(view, proj, cam.position)
+    out.image.block_until_ready()
+    print(f"first frame (compile): {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    for _ in range(2):
+        r.render_frame(view, proj, cam.position).image.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        out = r.render_frame(view, proj, cam.position)
+    out.image.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.frames
+    fps = 1.0 / dt
+
+    covered = int(out.covered_pixels)
+    print(
+        f"frame: {dt*1000:.2f} ms ({fps:.1f} fps), covered {covered} px, "
+        f"overflow {int(out.binning_overflow)}",
+        file=sys.stderr,
+    )
+    if args.save:
+        surface.save_png(args.save)
+        print(f"saved {args.save}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fps_{height}p_{n_obj}obj_instanced_pbr_shadows",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
