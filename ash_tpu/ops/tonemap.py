@@ -1,0 +1,61 @@
+"""Tonemapping operators + gamma — numerical port of shaders/tonemapping.frag.
+
+The post pass composites bloom, applies exposure, tonemaps, and gamma-encodes
+(tonemapping.frag:29-49). Operators mirror the reference's TonemapOperator
+enum (features/tonemapping.rs:9-20): ACES (the exact Narkowicz fit constants
+a=2.51 b=0.03 c=2.43 d=0.59 e=0.14, tonemapping.frag:19-27), Reinhard,
+Uncharted2 filmic, and None (clamp).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def aces(x: jnp.ndarray) -> jnp.ndarray:
+    """ACES filmic fit (tonemapping.frag:19-27)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def reinhard(x: jnp.ndarray) -> jnp.ndarray:
+    """c / (c + 1) (frag.frag:227)."""
+    return x / (x + 1.0)
+
+
+def _uncharted2_curve(x):
+    a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+    return ((x * (a * x + c * b) + d * e) / (x * (a * x + b) + d * f)) - e / f
+
+
+def uncharted2(x: jnp.ndarray, white_point: float = 11.2) -> jnp.ndarray:
+    """Hable/Uncharted2 filmic with white-point normalization."""
+    return jnp.clip(_uncharted2_curve(x) / _uncharted2_curve(white_point), 0.0, 1.0)
+
+
+_OPERATORS = {
+    "aces": aces,
+    "reinhard": reinhard,
+    "uncharted2": uncharted2,
+    "none": lambda x: jnp.clip(x, 0.0, 1.0),
+}
+
+
+def tonemap_compose(
+    hdr: jnp.ndarray,  # (H, W, 3) linear HDR
+    bloom: jnp.ndarray | None,  # (H, W, 3) or None
+    exposure: float,
+    gamma: float,
+    bloom_intensity: float,
+    operator: str = "aces",
+) -> jnp.ndarray:
+    """Full post composite (tonemapping.frag:29-48):
+    hdr += bloom * intensity; *= exposure; tonemap; pow(1/gamma)."""
+    if operator not in _OPERATORS:
+        raise ValueError(f"unknown tonemap operator {operator!r}")
+    x = hdr
+    if bloom is not None:
+        x = x + bloom * bloom_intensity
+    x = x * exposure
+    ldr = _OPERATORS[operator](x)
+    return jnp.power(jnp.maximum(ldr, 0.0), 1.0 / gamma)

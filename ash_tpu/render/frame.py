@@ -29,9 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import binning, geometry, raster
+from ..ops.bloom import bloom_pyramid
 from ..ops.raster_pallas import rasterize_pallas
 from ..ops.shade import ShadeUniforms, interpolate_gbuffer, shade_flat, shade_pbr
+from ..ops.taa import TaaParams, taa_resolve
 from ..ops.texture_sample import TexturePool
+from ..ops.tonemap import tonemap_compose
 from .scene import SceneBuffers
 
 
@@ -71,6 +74,42 @@ class FrameConfig:
     # Rasterizer backend: the Pallas kernel (ops/raster_pallas.py) on TPU,
     # the jnp scan oracle elsewhere.
     use_pallas: bool = False
+    # HDR post chain (the reference's designed-but-unwired full frame:
+    # SURVEY §3.2 "capability present, wiring absent" — wired here).
+    # When enabled the main pass outputs linear HDR (reinhard is skipped),
+    # TAA resolves pre-tonemap, bloom + tonemap + gamma produce the LDR
+    # image; gamma encoding replaces the sRGB swapchain encode.
+    post_enabled: bool = False
+    bloom_enabled: bool = True
+    bloom_mips: int = 5
+    tonemap_operator: str = "aces"
+    taa_enabled: bool = False
+    # Supersampling factor (MSAA equivalent: ordered-grid SSAA + box resolve;
+    # reference msaa_targets.rs). 1 = off.
+    ssaa_scale: int = 1
+
+
+class PostParams(NamedTuple):
+    """Runtime post-processing knobs (no retrace on change; reference
+    setters renderer.rs:2072-2131)."""
+
+    exposure: jnp.ndarray  # () f32
+    gamma: jnp.ndarray  # () f32
+    bloom_intensity: jnp.ndarray  # () f32
+    bloom_threshold: jnp.ndarray  # () f32
+    bloom_soft_knee: jnp.ndarray  # () f32
+
+    @staticmethod
+    def default() -> "PostParams":
+        import numpy as np
+
+        return PostParams(
+            exposure=np.float32(1.0),
+            gamma=np.float32(2.2),
+            bloom_intensity=np.float32(0.5),
+            bloom_threshold=np.float32(0.8),
+            bloom_soft_knee=np.float32(0.5),
+        )
 
 
 class FrameOutputs(NamedTuple):
@@ -80,6 +119,7 @@ class FrameOutputs(NamedTuple):
     shadow_map: Optional[jnp.ndarray]  # (S, S) or None
     covered_pixels: jnp.ndarray  # () int32
     binning_overflow: jnp.ndarray  # () int32
+    history: Optional[jnp.ndarray]  # (H, W, 3) TAA history out (if enabled)
 
 
 def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
@@ -99,6 +139,9 @@ def render_frame_program(
     scene: SceneBuffers,
     uni: FrameUniforms,
     pool: Optional[TexturePool],
+    post: Optional[PostParams] = None,
+    taa_params: Optional[TaaParams] = None,
+    history: Optional[jnp.ndarray] = None,
 ) -> FrameOutputs:
     """The pure frame function (trace-time `config`, runtime everything else)."""
     cfg = config
@@ -132,17 +175,16 @@ def render_frame_program(
         )
         shadow_map = vis_s.depth
 
+    ss = max(int(cfg.ssaa_scale), 1)
+    rw, rh = cfg.width * ss, cfg.height * ss
     setup = geometry.triangle_setup(
-        tv.clip, scene.tri_v, scene.tri_valid, cfg.width, cfg.height,
-        cull_mode="back",
+        tv.clip, scene.tri_v, scene.tri_valid, rw, rh, cull_mode="back"
     )
     bins = binning.bin_triangles(
-        setup.bbox, setup.valid, cfg.height, cfg.width,
+        setup.bbox, setup.valid, rh, rw,
         cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
     )
-    vis = _raster(cfg)(
-        setup, bins, cfg.height, cfg.width, cfg.tile_h, cfg.tile_w
-    )
+    vis = _raster(cfg)(setup, bins, rh, rw, cfg.tile_h, cfg.tile_w)
 
     gbuf = interpolate_gbuffer(
         vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
@@ -165,10 +207,38 @@ def render_frame_program(
             shadow_map=shadow_map,
             pool=pool if cfg.textured else None,
             clear_color=cfg.clear_color,
-            reinhard=cfg.reinhard,
+            reinhard=cfg.reinhard and not cfg.post_enabled,
         )
 
-    encoded = _srgb_encode(color) if cfg.srgb_output else color
+    depth = vis.depth
+    if ss > 1:
+        # SSAA resolve: box-average color, min-reduce depth.
+        color = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean((1, 3))
+        depth = depth.reshape(cfg.height, ss, cfg.width, ss).min((1, 3))
+
+    new_history = None
+    if cfg.post_enabled:
+        # HDR post chain: TAA (pre-tonemap) -> bloom -> tonemap + gamma.
+        if cfg.taa_enabled and taa_params is not None and history is not None:
+            color = taa_resolve(color, history, taa_params)
+            new_history = color
+        p = post if post is not None else PostParams.default()
+        bloom = None
+        if cfg.bloom_enabled:
+            bloom = bloom_pyramid(
+                color,
+                threshold=p.bloom_threshold,
+                soft_knee=p.bloom_soft_knee,
+                mip_count=cfg.bloom_mips,
+            )
+        color = tonemap_compose(
+            color, bloom, p.exposure, p.gamma, p.bloom_intensity,
+            operator=cfg.tonemap_operator,
+        )
+        encoded = color  # gamma already applied by the tonemap pass
+    else:
+        encoded = _srgb_encode(color) if cfg.srgb_output else color
+
     rgb_u8 = jnp.clip(encoded * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     alpha = jnp.full((cfg.height, cfg.width, 1), 255, jnp.uint8)
     image = jnp.concatenate([rgb_u8, alpha], axis=-1)
@@ -176,10 +246,11 @@ def render_frame_program(
     return FrameOutputs(
         image=image,
         color=color,
-        depth=vis.depth,
+        depth=depth,
         shadow_map=shadow_map,
         covered_pixels=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
         binning_overflow=bins.overflow,
+        history=new_history,
     )
 
 

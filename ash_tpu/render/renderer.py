@@ -41,9 +41,16 @@ from .features import (
     FeatureManager,
     ShadowFeature,
 )
-from .frame import FrameConfig, FrameOutputs, FrameUniforms, compiled_frame
+from .frame import (
+    FrameConfig,
+    FrameOutputs,
+    FrameUniforms,
+    PostParams,
+    compiled_frame,
+)
 from .scene import BuiltScene, DrawItem, build_models, build_scene
 from .surface import SurfaceProvider
+from .temporal_aa import TaaConfig, TemporalAA
 
 # The reference's hardcoded frame lighting (renderer.rs:1647-1649).
 FRAME_LIGHT_DIR = np.array([-0.35, -1.0, -0.25], np.float32)
@@ -79,6 +86,21 @@ class RenderCommand:
     material: Optional[int] = None  # material handle
 
 
+class MsaaPreset:
+    """MSAA presets (reference msaa_targets.rs / renderer.rs:2072-2083).
+
+    Implemented as ordered-grid supersampling (render at Nx scale + box
+    resolve) — the natural TPU equivalent of multisampled targets.
+    """
+
+    OFF = "off"
+    X2 = "x2"
+    X4 = "x4"
+    X8 = "x8"
+
+    SCALE = {OFF: 1, X2: 2, X4: 2, X8: 3}
+
+
 class Renderer:
     def __init__(self, surface: SurfaceProvider, config: Optional[RendererConfig] = None):
         self.surface = surface
@@ -111,6 +133,20 @@ class Renderer:
         self.feature_manager.add(self.shadow_feature, self)
 
         self.auto_rotate = False
+
+        # Post-processing state (reference renderer.rs:2067-2164 API).
+        self.hdr_enabled = False
+        self.bloom_enabled_flag = True
+        self.tonemapping_enabled = True
+        self.tonemapping_operator = "aces"
+        self.tonemapping_exposure = 1.0
+        self.tonemapping_gamma = 2.2
+        self.bloom_intensity = 0.5
+        self.bloom_threshold = 0.8
+        self.msaa = MsaaPreset.OFF
+        self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
+        self._taa_history = None
+
         self._scene: Optional[BuiltScene] = None
         self._scene_dirty = True
         self._single_mat_row: Optional[np.ndarray] = None
@@ -273,6 +309,13 @@ class Renderer:
             textured=textured,
             shading=c.shading,
             clear_color=tuple(c.clear_color),
+            post_enabled=self.hdr_enabled,
+            bloom_enabled=self.bloom_enabled_flag,
+            tonemap_operator=(
+                self.tonemapping_operator if self.tonemapping_enabled else "none"
+            ),
+            taa_enabled=self.temporal_aa.is_enabled(),
+            ssaa_scale=MsaaPreset.SCALE[self.msaa],
         )
 
     def render_frame(self, view: np.ndarray, proj: np.ndarray, camera_pos) -> FrameOutputs:
@@ -326,6 +369,32 @@ class Renderer:
 
         view = np.asarray(view, np.float32)
         proj = np.asarray(proj, np.float32)
+
+        # TAA: advance jitter and perturb the projection
+        # (reference temporal_aa.rs:137-156; applied by the app in the
+        # reference, applied here automatically when TAA is on).
+        taa_params = None
+        if self.hdr_enabled and self.temporal_aa.is_enabled():
+            self.temporal_aa.begin_frame()
+            proj = self.temporal_aa.jitter_projection(
+                proj, self._width, self._height
+            )
+            p = self.temporal_aa.params()
+            from ..ops.taa import TaaParams
+
+            first = self._taa_history is None
+            taa_params = TaaParams(
+                blend_factor=np.float32(0.0 if first else p["blend_factor"]),
+                color_clamp=p["color_clamp"],
+                velocity_rejection=p["velocity_rejection"],
+                jitter=p["jitter"],
+                prev_jitter=p["prev_jitter"],
+            )
+            if first:
+                self._taa_history = np.zeros(
+                    (self._height, self._width, 3), np.float32
+                )
+
         light_dir = FRAME_LIGHT_DIR / np.linalg.norm(FRAME_LIGHT_DIR)
         models = build_models(items, self._scene.buffers.num_draws)
         uni = FrameUniforms(
@@ -341,12 +410,73 @@ class Renderer:
         pool = self.bindless.pool()
         config = self._frame_config(textured=pool is not None)
         frame_fn = compiled_frame(config)
-        outputs = frame_fn(self._scene.buffers, uni, pool)
+        post = PostParams(
+            exposure=np.float32(self.tonemapping_exposure),
+            gamma=np.float32(self.tonemapping_gamma),
+            bloom_intensity=np.float32(self.bloom_intensity),
+            bloom_threshold=np.float32(self.bloom_threshold),
+            bloom_soft_knee=np.float32(0.5),
+        )
+        outputs = frame_fn(
+            self._scene.buffers, uni, pool, post, taa_params,
+            self._taa_history if taa_params is not None else None,
+        )
+        if outputs.history is not None:
+            self._taa_history = outputs.history
 
         self.surface.present(outputs.image)
         self._last_outputs = outputs
         self.frame_count += 1
         return outputs
+
+    # ------------------------------------------------------------------
+    # Post-processing API (reference renderer.rs:2067-2164)
+    # ------------------------------------------------------------------
+
+    def initialize_hdr(self) -> None:
+        """Enable the HDR post chain (reference initialize_hdr,
+        renderer.rs:2141-2164). Unlike the reference — where the HDR target
+        existed but the frame loop never rendered into it (SURVEY §3.2) —
+        enabling this routes the frame through TAA/bloom/tonemap."""
+        self.hdr_enabled = True
+
+    def set_msaa_preset(self, preset: str) -> None:
+        if preset not in MsaaPreset.SCALE:
+            raise ValueError(f"unknown MSAA preset {preset!r}")
+        self.msaa = preset
+
+    def msaa_preset(self) -> str:
+        return self.msaa
+
+    def set_tonemapping_enabled(self, enabled: bool) -> None:
+        self.tonemapping_enabled = bool(enabled)
+
+    def set_tonemapping_operator(self, operator: str) -> None:
+        self.tonemapping_operator = operator
+
+    def set_tonemapping_exposure(self, exposure: float) -> None:
+        self.tonemapping_exposure = max(float(exposure), 0.0)
+
+    def set_tonemapping_gamma(self, gamma: float) -> None:
+        self.tonemapping_gamma = max(float(gamma), 0.1)
+
+    def set_bloom_enabled(self, enabled: bool) -> None:
+        self.bloom_enabled_flag = bool(enabled)
+
+    def set_bloom_intensity(self, intensity: float) -> None:
+        self.bloom_intensity = float(np.clip(intensity, 0.0, 2.0))
+
+    def set_bloom_threshold(self, threshold: float) -> None:
+        self.bloom_threshold = float(threshold)
+
+    def set_taa_enabled(self, enabled: bool) -> None:
+        self.temporal_aa.config.enabled = bool(enabled)
+        if not enabled:
+            self._taa_history = None
+
+    def reset_taa_history(self) -> None:
+        self.temporal_aa.reset_history()
+        self._taa_history = None
 
     # ------------------------------------------------------------------
     # Introspection

@@ -1,0 +1,96 @@
+"""TemporalAA manager: Halton jitter sequence + jittered projection.
+
+Host-side port of reference src/renderer/temporal_aa.rs. Defaults match
+TaaConfig (temporal_aa.rs:29-39): blend 0.9, color clamp on, velocity
+rejection on, jitter scale 1.0. The resolve kernel is ops/taa.py; history is
+explicit state carried by the renderer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.maths import halton
+
+
+@dataclasses.dataclass
+class TaaConfig:
+    """temporal_aa.rs:16-39."""
+
+    enabled: bool = True
+    blend_factor: float = 0.9
+    color_clamp: bool = True
+    velocity_rejection: bool = True
+    jitter_scale: float = 1.0
+
+
+class HaltonSequence:
+    """Halton(2,3) jitter in [-0.5, 0.5], index mod 16 (temporal_aa.rs:42-77)."""
+
+    def __init__(self):
+        self.index = 0
+
+    def next_jitter(self) -> np.ndarray:
+        j = np.array(
+            [halton(self.index + 1, 2) - 0.5, halton(self.index + 1, 3) - 0.5],
+            np.float32,
+        )
+        self.index = (self.index + 1) % 16
+        return j
+
+    def reset(self) -> None:
+        self.index = 0
+
+
+class TemporalAA:
+    """Jitter bookkeeping (temporal_aa.rs:110-208)."""
+
+    def __init__(self, config: TaaConfig | None = None):
+        self.config = config or TaaConfig()
+        self.halton = HaltonSequence()
+        self.current_jitter = np.zeros(2, np.float32)
+        self.previous_jitter = np.zeros(2, np.float32)
+        self.frame_index = 0
+
+    def begin_frame(self) -> None:
+        """temporal_aa.rs:137-141."""
+        self.previous_jitter = self.current_jitter
+        self.current_jitter = (
+            self.halton.next_jitter() * self.config.jitter_scale
+        )
+        self.frame_index += 1
+
+    def jitter_projection(
+        self, projection: np.ndarray, width: int, height: int
+    ) -> np.ndarray:
+        """Perturb proj[0,3]/proj[1,3] by 2*jitter/screen
+        (temporal_aa.rs:144-156; glam w_axis.xy == rows 0-1, col 3)."""
+        if not self.config.enabled:
+            return projection
+        j = np.array(projection, np.float32, copy=True)
+        j[0, 3] += self.current_jitter[0] * 2.0 / width
+        j[1, 3] += self.current_jitter[1] * 2.0 / height
+        return j
+
+    def params(self):
+        """Resolve-kernel parameters (temporal_aa.rs:159-180)."""
+        return dict(
+            blend_factor=np.float32(self.config.blend_factor),
+            color_clamp=np.float32(1.0 if self.config.color_clamp else 0.0),
+            velocity_rejection=np.float32(
+                1.0 if self.config.velocity_rejection else 0.0
+            ),
+            jitter=self.current_jitter,
+            prev_jitter=self.previous_jitter,
+        )
+
+    def is_enabled(self) -> bool:
+        return self.config.enabled
+
+    def reset_history(self) -> None:
+        """temporal_aa.rs:203-207."""
+        self.halton.reset()
+        self.current_jitter = np.zeros(2, np.float32)
+        self.previous_jitter = np.zeros(2, np.float32)

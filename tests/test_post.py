@@ -1,0 +1,164 @@
+"""Post chain tests: tonemap operators, bloom pyramid, TAA resolve, e2e HDR."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ash_tpu.ops import bloom, taa, tonemap
+
+
+def test_aces_constants_and_range():
+    """tonemapping.frag:19-27 fit: aces(0)=0, monotonic, clamps at 1."""
+    x = jnp.linspace(0.0, 20.0, 256)
+    y = np.asarray(tonemap.aces(x))
+    assert y[0] == 0.0
+    assert np.all(np.diff(y) >= -1e-6)
+    assert y.max() <= 1.0
+    # Spot value: aces(1.0) = (1*(2.51+0.03))/(1*(2.43+0.59)+0.14)
+    np.testing.assert_allclose(y[np.searchsorted(np.asarray(x), 1.0)],
+                               2.54 / 3.16, atol=1e-2)
+
+
+def test_reinhard_and_uncharted2():
+    x = jnp.asarray([0.0, 1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(tonemap.reinhard(x)), [0, 0.5, 0.8])
+    u = np.asarray(tonemap.uncharted2(jnp.asarray([0.0, 11.2])))
+    assert u[0] == 0.0 and u[1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_tonemap_compose_gamma():
+    hdr = jnp.full((4, 4, 3), 1.0)
+    out = np.asarray(
+        tonemap.tonemap_compose(hdr, None, exposure=1.0, gamma=2.2,
+                                bloom_intensity=0.5, operator="none")
+    )
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+    out2 = np.asarray(
+        tonemap.tonemap_compose(hdr * 0.5, None, 1.0, 2.2, 0.5, "none")
+    )
+    np.testing.assert_allclose(out2, 0.5 ** (1 / 2.2), atol=1e-5)
+
+
+def test_soft_threshold_behavior():
+    """bloom_threshold.frag: dark pixels suppressed, bright pass through."""
+    dark = jnp.full((1, 1, 3), 0.1)
+    bright = jnp.full((1, 1, 3), 4.0)
+    d = np.asarray(bloom.soft_threshold(dark, 0.8, 0.5))
+    b = np.asarray(bloom.soft_threshold(bright, 0.8, 0.5))
+    assert d.max() < 0.05
+    np.testing.assert_allclose(b, 4.0 - 0.8, atol=1e-3)
+
+
+def test_bloom_pyramid_spreads_light():
+    img = jnp.zeros((64, 64, 3)).at[32, 32].set(jnp.asarray([50.0, 50.0, 50.0]))
+    out = np.asarray(bloom.bloom_pyramid(img, threshold=0.8, mip_count=4))
+    assert out.shape == (64, 64, 3)
+    # Energy spreads: pixels well away from the source are lit.
+    assert out[32, 40].max() > 0.001
+    assert out[20, 20].max() >= 0.0
+    # Peak stays at the source.
+    assert out[32, 32].max() == out.reshape(-1, 3).max()
+
+
+def test_karis_downsample_suppresses_fireflies():
+    img = jnp.zeros((8, 8, 3)).at[3, 3].set(jnp.asarray([1000.0, 1000.0, 1000.0]))
+    down = np.asarray(bloom.downsample_karis(img))
+    # Plain box average of a 1000-valued pixel into 4 would be >= 62;
+    # Karis weighting must pull it far down.
+    assert down.max() < 30.0
+
+
+def test_ycocg_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.random((16, 3)), jnp.float32)
+    back = np.asarray(taa.ycocg_to_rgb(taa.rgb_to_ycocg(rgb)))
+    np.testing.assert_allclose(back, np.asarray(rgb), atol=1e-6)
+
+
+def test_clip_aabb():
+    mn = jnp.zeros(3)
+    mx = jnp.ones(3)
+    inside = jnp.asarray([0.5, 0.5, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(taa.clip_aabb(mn, mx, inside)), [0.5] * 3
+    )
+    outside = jnp.asarray([2.0, 0.5, 0.5])
+    clipped = np.asarray(taa.clip_aabb(mn, mx, outside))
+    assert clipped[0] <= 1.01 and clipped[0] > 0.5
+
+
+def test_taa_resolve_blend():
+    import jax
+
+    h = w = 8
+    current = jnp.zeros((h, w, 3))
+    history = jnp.ones((h, w, 3))
+    params = taa.TaaParams(
+        blend_factor=jnp.float32(0.9),
+        color_clamp=jnp.float32(0.0),  # no clamp: pure blend
+        velocity_rejection=jnp.float32(0.0),
+        jitter=jnp.zeros(2),
+        prev_jitter=jnp.zeros(2),
+    )
+    out = np.asarray(taa.taa_resolve(current, history, params))
+    np.testing.assert_allclose(out, 0.9, atol=1e-5)
+    # With clamping on, white history is clamped to the black neighborhood.
+    params_c = params._replace(color_clamp=jnp.float32(1.0))
+    out_c = np.asarray(taa.taa_resolve(current, history, params_c))
+    assert out_c.max() < 0.1
+
+
+def test_e2e_hdr_post_chain():
+    """Full-frame config: HDR render + bloom + ACES + TAA over 3 frames."""
+    from ash_tpu import Material, Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    surface = HeadlessSurface(96, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_material(Material(color=(1.0, 0.3, 0.1, 1.0),
+                            emissive=(4.0, 2.0, 0.5, 1.0)))
+    r.initialize_hdr()
+    r.set_taa_enabled(True)
+    cam = Camera.new([0, 1.5, 5], [0, 0, 0], 96 / 64)
+    view, proj, pos = cam.view_matrix(), cam.projection_matrix(), cam.position
+    for _ in range(3):
+        out = r.render_frame(view, proj, pos)
+    img = surface.read_back()
+    assert img.shape == (64, 96, 4)
+    c = img[32, 48]
+    assert c[0] > 150, f"emissive cube should be bright: {c}"
+    # Bloom: pixels just OUTSIDE the cube silhouette pick up light.
+    tid_bg = np.asarray(out.depth) == 1.0
+    bg_brightness = img[..., :3].sum(-1)[tid_bg]
+    assert (bg_brightness > 10).any(), "bloom should leak onto background"
+    assert r._taa_history is not None
+
+
+def test_msaa_ssaa_path():
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    surface = HeadlessSurface(48, 48)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_msaa_preset("x4")
+    cam = Camera.new([3, 2, 4], [0, 0, 0], 1.0)
+    out = r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    img = surface.read_back()
+    assert img.shape == (48, 48, 4)
+    assert out.depth.shape == (48, 48)
+    # Edges are antialiased: some pixels are partial coverage (neither
+    # background-black nor full face color).
+    edge_vals = np.unique(img[..., 0])
+    assert len(edge_vals) > 10
