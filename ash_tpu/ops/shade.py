@@ -176,6 +176,10 @@ def shade_pbr(
     pool: Optional[texture_sample.TexturePool] = None,
     clear_color=(0.0, 0.0, 0.0),
     reinhard: bool = True,
+    lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
+    tile_light_indices: Optional[jnp.ndarray] = None,  # (ty, tx, K) int32
+    light_tile_size: int = 16,
+    y0: int = 0,
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -274,6 +278,43 @@ def shade_pbr(
         shadow = jnp.zeros_like(ndotl)
 
     lo = (diffuse + specular) * (uniforms.light_color * (ndotl * (1.0 - shadow))[..., None])
+
+    # Forward+ point lights: each pixel walks its tile's culled light list
+    # (the consumption side of shaders/light_culling.comp — designed but
+    # never wired in the reference, light_culling_integration.rs:142-209).
+    # The light model extends frag.frag's Cook-Torrance to positional lights
+    # with radius-windowed inverse-square falloff.
+    if lights is not None and tile_light_indices is not None:
+        hgt, wdt = gbuf.mask.shape
+        py = (jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0) + y0)
+        px = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 1)
+        t_y = jnp.clip(py // light_tile_size, 0, tile_light_indices.shape[0] - 1)
+        t_x = jnp.clip(px // light_tile_size, 0, tile_light_indices.shape[1] - 1)
+        k_slots = tile_light_indices.shape[-1]
+        for k in range(k_slots):
+            lid = tile_light_indices[t_y, t_x, k]  # (H, W)
+            row = lights[jnp.maximum(lid, 0)]  # (H, W, 16)
+            lpos = row[..., 0:3]
+            lradius = jnp.maximum(row[..., 3], 1e-3)
+            lcolor = row[..., 4:7] * row[..., 7:8]  # color * intensity
+            to_light = lpos - gbuf.world
+            dist = jnp.linalg.norm(to_light, axis=-1)
+            ldir = to_light / jnp.maximum(dist, 1e-6)[..., None]
+            # Windowed inverse-square attenuation.
+            win = jnp.clip(1.0 - (dist / lradius) ** 4, 0.0, 1.0) ** 2
+            atten = win / (dist * dist + 1.0)
+            nl = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
+            half_l = _normalize(view_dir + ldir)
+            nh = jnp.maximum(jnp.sum(normal * half_l, axis=-1), 0.0)
+            vh = jnp.maximum(jnp.sum(view_dir * half_l, axis=-1), 0.0)
+            dd = distribution_ggx(nh, roughness)
+            gg = geometry_smith(ndotv, nl, roughness)
+            ff = fresnel_schlick(vh, f0)
+            spec_l = (dd * gg)[..., None] * ff / (4.0 * ndotv * nl + 0.001)[..., None]
+            spec_l = jnp.minimum(spec_l, 10.0 / jnp.maximum(f0, 0.04))
+            kd_l = (1.0 - ff) * (1.0 - metallic[..., None])
+            contrib = (kd_l * base_color / PI + spec_l) * lcolor * (nl * atten)[..., None]
+            lo = lo + jnp.where((lid >= 0)[..., None], contrib, 0.0)
 
     ambient = uniforms.ambient_color * base_color * occlusion[..., None]
 

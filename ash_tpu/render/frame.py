@@ -48,6 +48,10 @@ class FrameUniforms(NamedTuple):
     ambient_color: jnp.ndarray  # (3,)
     light_space_matrix: jnp.ndarray  # (4, 4)
     models: jnp.ndarray  # (D, 4, 4) per-draw model matrices
+    # view/projection individually (Forward+ culling needs them; the
+    # reference's CullingCameraData, features/light_culling.rs:81-99).
+    view: Optional[jnp.ndarray] = None  # (4, 4)
+    projection: Optional[jnp.ndarray] = None  # (4, 4)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +91,13 @@ class FrameConfig:
     # Supersampling factor (MSAA equivalent: ordered-grid SSAA + box resolve;
     # reference msaa_targets.rs). 1 = off.
     ssaa_scale: int = 1
+    # Forward+ point lights (tiled light culling + per-tile shading loop).
+    lights_enabled: bool = False
+    light_tile_size: int = 16  # reference TILE_SIZE, light_culling.rs:17-23
+    max_lights_per_tile: int = 256  # reference MAX_LIGHTS_PER_TILE
+    # Cap on the per-pixel shading loop (slots beyond this are dropped; the
+    # culled list is ascending light id). Keeps the fragment loop bounded.
+    shaded_lights_per_tile: int = 32
 
 
 class PostParams(NamedTuple):
@@ -142,6 +153,7 @@ def render_frame_program(
     post: Optional[PostParams] = None,
     taa_params: Optional[TaaParams] = None,
     history: Optional[jnp.ndarray] = None,
+    lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
 ) -> FrameOutputs:
     """The pure frame function (trace-time `config`, runtime everything else)."""
     cfg = config
@@ -191,6 +203,17 @@ def render_frame_program(
         scene.uv, scene.color,
     )
 
+    tile_light_indices = None
+    if cfg.lights_enabled and lights is not None:
+        from ..ops.light_cull import cull_lights
+
+        inv_projection = jnp.linalg.inv(uni.projection)
+        tl = cull_lights(
+            lights, uni.view, inv_projection, vis.depth, rw, rh,
+            max_per_tile=cfg.max_lights_per_tile, tile=cfg.light_tile_size,
+        )
+        tile_light_indices = tl.indices[:, :, : cfg.shaded_lights_per_tile]
+
     if cfg.shading == "flat":
         color = shade_flat(gbuf, clear_color=cfg.clear_color)
     else:
@@ -208,6 +231,9 @@ def render_frame_program(
             pool=pool if cfg.textured else None,
             clear_color=cfg.clear_color,
             reinhard=cfg.reinhard and not cfg.post_enabled,
+            lights=lights if cfg.lights_enabled else None,
+            tile_light_indices=tile_light_indices,
+            light_tile_size=cfg.light_tile_size,
         )
 
     depth = vis.depth

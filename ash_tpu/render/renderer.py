@@ -39,6 +39,8 @@ from .features import (
     AutoRotateFeature,
     FeatureFrameContext,
     FeatureManager,
+    GpuLight,
+    LightingFeature,
     ShadowFeature,
 )
 from .frame import (
@@ -129,8 +131,10 @@ class Renderer:
 
         self.feature_manager = FeatureManager()
         self.shadow_feature = ShadowFeature()
+        self.lighting_feature = LightingFeature()
         self.feature_manager.add(AutoRotateFeature(), self)
         self.feature_manager.add(self.shadow_feature, self)
+        self.feature_manager.add(self.lighting_feature, self)
 
         self.auto_rotate = False
 
@@ -405,10 +409,28 @@ class Renderer:
             ambient_color=FRAME_AMBIENT,
             light_space_matrix=self.shadow_feature.light_space_matrix(),
             models=models,
+            view=view,
+            projection=proj,
         )
 
+        # Forward+ point lights from the lighting feature (packed, padded
+        # to a power-of-two bucket so the frame function shape is stable).
+        lights = None
+        point_lights = self.lighting_feature.point_lights
+        if point_lights:
+            n = len(point_lights)
+            pad = 8
+            while pad < n:
+                pad *= 2
+            lights = np.zeros((pad, 16), np.float32)
+            for i, pl in enumerate(point_lights):
+                lights[i] = GpuLight.from_point_light(pl).flat()
+
         pool = self.bindless.pool()
-        config = self._frame_config(textured=pool is not None)
+        config = dataclasses.replace(
+            self._frame_config(textured=pool is not None),
+            lights_enabled=lights is not None,
+        )
         frame_fn = compiled_frame(config)
         post = PostParams(
             exposure=np.float32(self.tonemapping_exposure),
@@ -420,6 +442,7 @@ class Renderer:
         outputs = frame_fn(
             self._scene.buffers, uni, pool, post, taa_params,
             self._taa_history if taa_params is not None else None,
+            lights,
         )
         if outputs.history is not None:
             self._taa_history = outputs.history
@@ -428,6 +451,27 @@ class Renderer:
         self._last_outputs = outputs
         self.frame_count += 1
         return outputs
+
+    # ------------------------------------------------------------------
+    # Lighting API (Forward+)
+    # ------------------------------------------------------------------
+
+    def add_point_light(self, position, color=(1, 1, 1), intensity=1.0,
+                        radius=10.0) -> int:
+        """Add a point light to the Forward+ pipeline; returns its index."""
+        from .features.lighting import PointLight
+
+        return self.lighting_feature.add_point_light(
+            PointLight(
+                position=np.asarray(position, np.float32),
+                color=np.asarray(color, np.float32),
+                intensity=float(intensity),
+                radius=float(radius),
+            )
+        )
+
+    def clear_point_lights(self) -> None:
+        self.lighting_feature.clear_point_lights()
 
     # ------------------------------------------------------------------
     # Post-processing API (reference renderer.rs:2067-2164)
