@@ -106,7 +106,7 @@ def test_lod_selection_and_reduction_rate():
     )
     vp = _vp()
     near = mgr.select_lod(mesh, [0, 0, 8], vp, [0, 0, 10], 800, 600)
-    far = mgr.select_lod(mesh, [0, 0, -25], vp, [0, 0, 10], 800, 600)
+    far = mgr.select_lod(mesh, [0, 0, -10], vp, [0, 0, 10], 800, 600)
     assert near.level < far.level
     assert not near.culled
     stats = mgr.stats
