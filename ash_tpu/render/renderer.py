@@ -151,6 +151,15 @@ class Renderer:
         self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
         self._taa_history = None
 
+        # Diagnostics (reference renderer.rs:2242-2318).
+        from .diagnostics import DeviceProfiler, DiagnosticsState, FrameProfiler
+        from .diagnostics.overlay import DiagnosticsOverlay
+
+        self.diagnostics_state = DiagnosticsState()
+        self.frame_profiler = FrameProfiler()
+        self.device_profiler = DeviceProfiler()
+        self.overlay = DiagnosticsOverlay()
+
         self._scene: Optional[BuiltScene] = None
         self._scene_dirty = True
         self._single_mat_row: Optional[np.ndarray] = None
@@ -447,10 +456,64 @@ class Renderer:
         if outputs.history is not None:
             self._taa_history = outputs.history
 
-        self.surface.present(outputs.image)
+        image = outputs.image
+        if self.diagnostics_state.mode.overlay_enabled:
+            image = self.overlay.composite(
+                image, self.diagnostics_state.overlay_lines()
+            )
+            outputs = outputs._replace(image=image)
+
+        self.surface.present(image)
         self._last_outputs = outputs
         self.frame_count += 1
+        self._update_diagnostics(items, (time.perf_counter() - now) * 1000.0)
         return outputs
+
+    def _update_diagnostics(self, items, frame_ms: float) -> None:
+        """Refresh diagnostics state (reference update_diagnostics,
+        renderer.rs:2242-2265)."""
+        self.frame_profiler.record(frame_ms)
+        fs = self.diagnostics_state.frame_stats
+        fs.fps = self.frame_profiler.fps
+        fs.frame_time_ms = self.frame_profiler.avg_ms
+        fs.frame_time_min_ms = self.frame_profiler.min_ms
+        fs.frame_time_max_ms = self.frame_profiler.max_ms
+        fs.draw_calls = len(items)
+        fs.triangles = self._scene.num_triangles if self._scene else 0
+        fs.total_frames = self.frame_count
+
+        ms = self.diagnostics_state.memory_stats
+        ms.gpu_used_bytes = self._device_bytes_in_use()
+        ms.allocation_count = (
+            len(self._scene.buffers) if self._scene else 0
+        )
+        ms.buffer_pool = (0, ms.allocation_count, ms.gpu_used_bytes)
+        self.diagnostics_state.gpu_timings.passes = (
+            self.device_profiler.timings_ms()
+        )
+        self.diagnostics_state.on_frame()
+
+    def _device_bytes_in_use(self) -> int:
+        total = 0
+        if self._scene is not None:
+            for buf in self._scene.buffers:
+                total += buf.size * buf.dtype.itemsize
+        pool = self.bindless.pool()
+        if pool is not None:
+            total += pool.texels.size * 4
+        if self._taa_history is not None:
+            total += int(np.prod(self._taa_history.shape)) * 4
+        return total
+
+    def set_diagnostics_mode(self, mode) -> None:
+        self.diagnostics_state.mode = mode
+
+    def toggle_diagnostics(self) -> None:
+        """The F6 handler (reference diagnostics/mod.rs:44-53)."""
+        self.diagnostics_state.toggle()
+
+    def diagnostics(self):
+        return self.diagnostics_state
 
     # ------------------------------------------------------------------
     # Lighting API (Forward+)

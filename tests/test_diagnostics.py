@@ -1,0 +1,141 @@
+"""Diagnostics tests: modes, profilers, overlay, stats dashboard.
+
+Mirrors the reference's diagnostics tests (mode cycling + stats formatting,
+diagnostics/mod.rs:279-311; frame profiler, frame_profiler.rs:110-130).
+"""
+
+import numpy as np
+
+from ash_tpu.render.diagnostics import (
+    DiagnosticsMode,
+    DiagnosticsState,
+    FrameProfiler,
+)
+from ash_tpu.render.diagnostics.font_data import FONT_8X8, glyph
+from ash_tpu.render.diagnostics.overlay import (
+    DiagnosticsOverlay,
+    OverlayConfig,
+    render_text_patch,
+)
+from ash_tpu.render.render_stats import (
+    CullingStats,
+    DrawStats,
+    RenderStats,
+    StatsCollector,
+)
+
+
+def test_mode_cycling():
+    """diagnostics/mod.rs:44-53 F6 cycle."""
+    m = DiagnosticsMode.OFF
+    seq = [m := m.next() for _ in range(4)]
+    assert seq == [
+        DiagnosticsMode.CONSOLE_ONLY,
+        DiagnosticsMode.OVERLAY_ONLY,
+        DiagnosticsMode.BOTH_WITH_TOGGLE,
+        DiagnosticsMode.OFF,
+    ]
+    assert DiagnosticsMode.CONSOLE_ONLY.console_enabled
+    assert not DiagnosticsMode.CONSOLE_ONLY.overlay_enabled
+    assert DiagnosticsMode.BOTH_WITH_TOGGLE.overlay_enabled
+
+
+def test_frame_profiler_window():
+    p = FrameProfiler(window=4)
+    for t in (10.0, 20.0, 30.0, 40.0, 50.0):
+        p.record(t)
+    # Window keeps the last 4.
+    assert p.min_ms == 20.0 and p.max_ms == 50.0
+    assert p.avg_ms == 35.0
+    assert abs(p.fps - 1000.0 / 35.0) < 1e-6
+    assert p.total_frames == 5
+
+
+def test_frame_stats_format():
+    st = DiagnosticsState()
+    st.frame_stats.fps = 60.0
+    st.frame_stats.draw_calls = 5
+    line = st.frame_stats.format_line()
+    assert "FPS: 60.0" in line and "Draws: 5" in line
+
+
+def test_console_print_cadence():
+    st = DiagnosticsState(
+        mode=DiagnosticsMode.CONSOLE_ONLY, console_print_interval=3
+    )
+    out = []
+    for _ in range(7):
+        st.on_frame(log=out.append)
+    # Printed at frames 3 and 6: two blocks of 4 lines each.
+    assert len(out) == 8
+
+
+def test_font_glyphs():
+    assert FONT_8X8.shape == (95, 8, 8)
+    # Printable glyphs are non-empty; space is empty.
+    assert glyph("A").sum() > 0
+    assert glyph(" ").sum() == 0
+    assert glyph("\x01").sum() == 0  # unknown -> space
+
+
+def test_render_text_patch():
+    patch = render_text_patch(["FPS: 60"], OverlayConfig(scale=1))
+    assert patch.ndim == 3 and patch.shape[2] == 4
+    # Contains green text pixels on translucent black.
+    assert (patch[..., 1] == 1.0).any()
+    assert (patch[..., 3] == 0.6).any()
+
+
+def test_overlay_composite():
+    import jax.numpy as jnp
+
+    img = jnp.zeros((64, 128, 4), jnp.uint8)
+    ov = DiagnosticsOverlay(OverlayConfig(scale=1))
+    out = np.asarray(ov.composite(img, ["HI"]))
+    assert out.shape == (64, 128, 4)
+    assert out[..., 1].max() > 200  # green text appeared
+
+
+def test_efficiency_score():
+    """render_stats.rs:93-113."""
+    s = RenderStats()
+    s.draws = DrawStats(draw_calls=100, instanced_draws=100)
+    s.culling = CullingStats(objects_submitted=100, after_occlusion=50)
+    # 100 - 1 + 10 + 10 = 119 -> clamped 100.
+    assert s.efficiency_score() == 100.0
+    s2 = RenderStats()
+    s2.draws = DrawStats(draw_calls=5000)
+    assert s2.efficiency_score() == 70.0
+
+
+def test_stats_collector():
+    c = StatsCollector()
+    c.begin_frame()
+    got = c.end_frame(16.6)
+    assert abs(got.fps - 1000 / 16.6) < 0.1
+    assert len(c.history) == 1
+
+
+def test_e2e_overlay_on_frame():
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    surface = HeadlessSurface(96, 96)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_diagnostics_mode(DiagnosticsMode.OVERLAY_ONLY)
+    cam = Camera.new([0, 0, 5], [0, 0, 0], 1.0)
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    img = surface.read_back()
+    # Overlay appears in the top-left corner (green-dominant text pixels).
+    corner = img[:40, :96]
+    greens = (corner[..., 1] > 150) & (corner[..., 0] < 100)
+    assert greens.any()
+    # Diagnostics were updated.
+    assert r.diagnostics().frame_stats.draw_calls == 1
+    assert r.diagnostics().memory_stats.gpu_used_bytes > 0
