@@ -14,7 +14,7 @@ vectorize at once):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,15 +87,20 @@ def cull_objects(
     models: jnp.ndarray,  # (N, 4, 4)
     enabled: jnp.ndarray,  # (N,) bool (flags & 1, comp:194-197)
     view_proj: jnp.ndarray,
-    pyr: HizPyramid,
+    pyr: Optional[HizPyramid],
     width: int,
     height: int,
 ) -> CullResult:
-    """Frustum + Hi-Z cull -> visibility flags + compacted draw list."""
+    """Frustum + Hi-Z cull -> visibility flags + compacted draw list.
+
+    pyr=None skips the occlusion test (frustum-only culling)."""
     wc, we = world_bounds(centers, extents, models)
     planes = extract_frustum_planes(view_proj)
     in_frustum = aabb_in_frustum(wc, we, planes)
-    occluded = occlusion_test(wc, we, view_proj, pyr, width, height)
+    if pyr is not None:
+        occluded = occlusion_test(wc, we, view_proj, pyr, width, height)
+    else:
+        occluded = jnp.zeros(wc.shape[0], bool)
     visible = enabled & in_frustum & ~occluded
     draw_list, count = prefix_sum_compact(visible, visible.shape[0])
     return CullResult(

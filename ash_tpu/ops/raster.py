@@ -91,7 +91,13 @@ def coverage_and_depth(tri, px, py):
     lam0 = e0 * inv_area
     lam1 = e1 * inv_area
     lam2 = 1.0 - lam0 - lam1
-    inside = (lam0 >= 0.0) & (lam1 >= 0.0) & (lam2 >= 0.0) & (area2 != 0.0)
+    # EPS tolerance: edge functions of adjacent triangles are not exact
+    # negations in float32 (and XLA's fma contraction can round them
+    # differently), so an exact >= 0 test can reject a shared-edge pixel
+    # from BOTH triangles, leaving single-pixel seams. The tolerance admits
+    # such pixels into either triangle; the depth test resolves the overlap.
+    eps = -1e-6
+    inside = (lam0 >= eps) & (lam1 >= eps) & (lam2 >= eps) & (area2 != 0.0)
     z = lam0 * z0 + lam1 * z1 + lam2 * z2
     return inside, z
 

@@ -96,10 +96,12 @@ def _raster_kernel(
         lam2 = 1.0 - lam0 - lam1
         z = lam0 * z0 + lam1 * z1 + lam2 * z2
         zbuf = z_ref[0]
+        # eps tolerance closes shared-edge seams (see ops/raster.py).
+        eps = -1e-6
         m = (
-            (lam0 >= 0.0)
-            & (lam1 >= 0.0)
-            & (lam2 >= 0.0)
+            (lam0 >= eps)
+            & (lam1 >= eps)
+            & (lam2 >= eps)
             & (area2 != 0.0)
             & (tri >= 0)
             & (z >= 0.0)

@@ -91,6 +91,12 @@ class FrameConfig:
     # Supersampling factor (MSAA equivalent: ordered-grid SSAA + box resolve;
     # reference msaa_targets.rs). 1 = off.
     ssaa_scale: int = 1
+    # GPU-driven culling: per-draw frustum culling every frame; Hi-Z
+    # occlusion against the PREVIOUS frame's depth pyramid (standard
+    # two-phase temporal scheme — the reference's occlusion_cull.comp reads
+    # a current-frame Hi-Z it never had wiring to produce).
+    frustum_culling: bool = False
+    occlusion_culling: bool = False
     # Forward+ point lights (tiled light culling + per-tile shading loop).
     lights_enabled: bool = False
     light_tile_size: int = 16  # reference TILE_SIZE, light_culling.rs:17-23
@@ -131,6 +137,7 @@ class FrameOutputs(NamedTuple):
     covered_pixels: jnp.ndarray  # () int32
     binning_overflow: jnp.ndarray  # () int32
     history: Optional[jnp.ndarray]  # (H, W, 3) TAA history out (if enabled)
+    visible_draws: Optional[jnp.ndarray]  # () int32 after GPU-driven culling
 
 
 def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +161,7 @@ def render_frame_program(
     taa_params: Optional[TaaParams] = None,
     history: Optional[jnp.ndarray] = None,
     lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
+    prev_depth: Optional[jnp.ndarray] = None,  # (H*ss, W*ss) last frame
 ) -> FrameOutputs:
     """The pure frame function (trace-time `config`, runtime everything else)."""
     cfg = config
@@ -189,8 +197,30 @@ def render_frame_program(
 
     ss = max(int(cfg.ssaa_scale), 1)
     rw, rh = cfg.width * ss, cfg.height * ss
+
+    # GPU-driven per-draw culling: mask whole draws' triangles out before
+    # binning (the TPU form of the indirect-draw compaction in
+    # occlusion_cull.comp:224-232 — instead of rewriting draw commands, the
+    # per-triangle validity mask shrinks the binned workload).
+    tri_valid = scene.tri_valid
+    visible_draws = None
+    if cfg.frustum_culling or cfg.occlusion_culling:
+        from ..ops import occlusion as occl
+        from ..ops.hiz import build_hiz
+
+        pyr = None
+        if cfg.occlusion_culling and prev_depth is not None:
+            pyr = build_hiz(prev_depth)
+        cull = occl.cull_objects(
+            scene.draw_center, scene.draw_extents, uni.models,
+            scene.draw_enabled, uni.view_proj, pyr, rw, rh,
+        )
+        visible = cull.visibility.astype(bool)
+        tri_valid = tri_valid & visible[scene.tri_draw]
+        visible_draws = cull.visible_count
+
     setup = geometry.triangle_setup(
-        tv.clip, scene.tri_v, scene.tri_valid, rw, rh, cull_mode="back"
+        tv.clip, scene.tri_v, tri_valid, rw, rh, cull_mode="back"
     )
     bins = binning.bin_triangles(
         setup.bbox, setup.valid, rh, rw,
@@ -277,6 +307,7 @@ def render_frame_program(
         covered_pixels=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
         binning_overflow=bins.overflow,
         history=new_history,
+        visible_draws=visible_draws,
     )
 
 

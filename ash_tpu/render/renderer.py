@@ -75,6 +75,9 @@ class RendererConfig:
     shading: str = "pbr"
     clear_color: tuple = (0.0, 0.0, 0.0)
     debug: bool = False  # enables jax nan-debugging (the "validation layer")
+    # GPU-driven culling: per-draw frustum culling each frame; occlusion
+    # culling (vs previous-frame Hi-Z) is opt-in via set_occlusion_culling.
+    frustum_culling: bool = True
     # None = auto: Pallas raster kernel on TPU, jnp scan elsewhere.
     use_pallas: Optional[bool] = None
 
@@ -150,6 +153,8 @@ class Renderer:
         self.msaa = MsaaPreset.OFF
         self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
         self._taa_history = None
+        self.occlusion_culling = False
+        self._prev_depth = None
 
         # Diagnostics (reference renderer.rs:2242-2318).
         from .diagnostics import DeviceProfiler, DiagnosticsState, FrameProfiler
@@ -329,6 +334,8 @@ class Renderer:
             ),
             taa_enabled=self.temporal_aa.is_enabled(),
             ssaa_scale=MsaaPreset.SCALE[self.msaa],
+            frustum_culling=c.frustum_culling,
+            occlusion_culling=self.occlusion_culling,
         )
 
     def render_frame(self, view: np.ndarray, proj: np.ndarray, camera_pos) -> FrameOutputs:
@@ -452,9 +459,12 @@ class Renderer:
             self._scene.buffers, uni, pool, post, taa_params,
             self._taa_history if taa_params is not None else None,
             lights,
+            self._prev_depth if self.occlusion_culling else None,
         )
         if outputs.history is not None:
             self._taa_history = outputs.history
+        if self.occlusion_culling:
+            self._prev_depth = outputs.depth
 
         image = outputs.image
         if self.diagnostics_state.mode.overlay_enabled:
@@ -575,6 +585,12 @@ class Renderer:
 
     def set_bloom_threshold(self, threshold: float) -> None:
         self.bloom_threshold = float(threshold)
+
+    def set_occlusion_culling(self, enabled: bool) -> None:
+        """Enable Hi-Z occlusion culling against last frame's depth."""
+        self.occlusion_culling = bool(enabled)
+        if not enabled:
+            self._prev_depth = None
 
     def set_taa_enabled(self, enabled: bool) -> None:
         self.temporal_aa.config.enabled = bool(enabled)

@@ -58,6 +58,10 @@ class SceneBuffers(NamedTuple):
     tri_draw: jnp.ndarray  # (T,) int32
     tri_valid: jnp.ndarray  # (T,) bool
     materials: jnp.ndarray  # (D, MATERIAL_RECORD_SIZE)
+    # Per-draw local AABBs for GPU-driven culling (padding draws disabled).
+    draw_center: jnp.ndarray  # (D, 3)
+    draw_extents: jnp.ndarray  # (D, 3)
+    draw_enabled: jnp.ndarray  # (D,) bool
 
     @property
     def num_vertices(self) -> int:
@@ -100,7 +104,7 @@ def build_scene(
 
     pos, nrm, uvs, col, tan = [], [], [], [], []
     vdraw, tris, tdraw = [], [], []
-    mats = []
+    mats, centers, extents = [], [], []
     voff = 0
     lo = np.full(3, np.inf)
     hi = np.full(3, -np.inf)
@@ -118,6 +122,9 @@ def build_scene(
         tris.append(t)
         tdraw.append(np.full(t.shape[0], di, np.int32))
         mats.append(item.packed_material())
+        c, e = mesh.bounds()
+        centers.append(c)
+        extents.append(e)
         voff += nv
         # World-space AABB contribution for shadow fitting.
         m = np.asarray(item.model, np.float32)
@@ -152,6 +159,9 @@ def build_scene(
         materials=jnp.asarray(
             padv(np.stack(mats).astype(np.float32), pd)
         ),
+        draw_center=jnp.asarray(padv(np.stack(centers), pd)),
+        draw_extents=jnp.asarray(padv(np.stack(extents), pd)),
+        draw_enabled=jnp.asarray(padv(np.ones(nd, bool), pd, fill=False)),
     )
     center = ((lo + hi) * 0.5).astype(np.float32)
     radius = float(np.linalg.norm(hi - center))
