@@ -101,17 +101,21 @@ def transform_vertices(
     """
     m = models[vert_draw]  # (V, 4, 4) gather
     world = (
-        jnp.einsum("vij,vj->vi", m[:, :3, :3], positions, preferred_element_type=jnp.float32)
+        jnp.einsum("vij,vj->vi", m[:, :3, :3], positions,
+                   precision="highest", preferred_element_type=jnp.float32)
         + m[:, :3, 3]
     )
     clip = (
-        jnp.einsum("ij,vj->vi", view_proj[:, :3], world, preferred_element_type=jnp.float32)
+        jnp.einsum("ij,vj->vi", view_proj[:, :3], world,
+                   precision="highest", preferred_element_type=jnp.float32)
         + view_proj[:, 3]
     )
     nmat = inverse_transpose_3x3(m[:, :3, :3])  # (V, 3, 3)
-    n = jnp.einsum("vij,vj->vi", nmat, normals, preferred_element_type=jnp.float32)
+    n = jnp.einsum("vij,vj->vi", nmat, normals,
+                   precision="highest", preferred_element_type=jnp.float32)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
-    t = jnp.einsum("vij,vj->vi", nmat, tangents[:, :3], preferred_element_type=jnp.float32)
+    t = jnp.einsum("vij,vj->vi", nmat, tangents[:, :3],
+                   precision="highest", preferred_element_type=jnp.float32)
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
     tangent = jnp.concatenate([t, tangents[:, 3:4]], axis=-1)
     return TransformedVerts(world=world, clip=clip, normal=n, tangent=tangent)

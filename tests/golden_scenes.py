@@ -1,0 +1,123 @@
+"""Deterministic golden scenes for PSNR regression tests.
+
+These mirror BASELINE.json's configs at reduced resolution. Golden PNGs live
+in tests/golden/ (regenerate with `python tests/golden_scenes.py` after an
+INTENTIONAL visual change and eyeball the diff). The PSNR >= 40 dB bar is the
+BASELINE.json per-frame parity threshold.
+"""
+
+import os
+import sys
+
+if __name__ == "__main__":
+    # Goldens are CPU-rendered for bit-determinism; force the backend before
+    # jax can initialize (the ambient env points at a TPU).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from ash_tpu import Material, Mesh  # noqa: E402
+from ash_tpu.core.transform import Camera  # noqa: E402
+from ash_tpu.render import (  # noqa: E402
+    HeadlessSurface,
+    RenderCommand,
+    Renderer,
+    RendererConfig,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+SIZE = (192, 128)  # (W, H)
+
+
+def scene_cube_pbr():
+    """02_cube config: red metallic cube + shadow map."""
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+                       shadow_resolution=256, shadow_tile=64,
+                       shadow_max_tris_per_tile=32, use_pallas=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_material(Material(color=(0.8, 0.2, 0.2, 1.0), metallic=0.5,
+                            roughness=0.5))
+    cam = Camera.new([3.0, 2.2, 4.0], [0, 0, 0], SIZE[0] / SIZE[1])
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
+def scene_flat_cube():
+    """01_triangle config: flat vertex colors."""
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+                       shadows_enabled=False, shading="flat",
+                       use_pallas=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    cam = Camera.new([2.5, 1.8, 4.0], [0, 0, 0], SIZE[0] / SIZE[1])
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
+def scene_full_frame():
+    """Full frame: instanced grid + point lights + bloom + ACES + TAA."""
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=64,
+                       shadow_resolution=256, shadow_tile=64,
+                       shadow_max_tris_per_tile=64, use_pallas=False),
+    )
+    r.register_mesh_handle(0, Mesh.create_cube())
+    rng = np.random.default_rng(5)
+    commands = []
+    for i in range(27):
+        z, rem = divmod(i, 9)
+        y, x = divmod(rem, 3)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] *= 0.5
+        m[:3, 3] = (np.array([x, y, z], np.float32) - 1.0) * 2.5
+        mat = Material(
+            color=(*(0.3 + 0.7 * rng.random(3)), 1.0),
+            metallic=float(rng.random()),
+            roughness=float(0.2 + 0.8 * rng.random()),
+            emissive=(3.0, 1.5, 0.3, 1.0) if i == 13 else (0, 0, 0, 1),
+        )
+        r.register_material_handle(i + 1, mat)
+        commands.append(RenderCommand(mesh=0, transform=m, material=i + 1))
+    r.submit_render_commands(commands)
+    r.shadow_feature.set_scene_bounds([0, 0, 0], 8.0)
+    r.add_point_light([0, 4, 4], color=(1, 0.9, 0.7), intensity=6, radius=16)
+    r.initialize_hdr()
+    r.set_taa_enabled(True)
+    cam = Camera.new([6.0, 4.5, 7.0], [0, 0, 0], SIZE[0] / SIZE[1])
+    for _ in range(3):
+        r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
+SCENES = {
+    "cube_pbr": scene_cube_pbr,
+    "flat_cube": scene_flat_cube,
+    "full_frame": scene_full_frame,
+}
+
+
+def generate():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in SCENES.items():
+        surface = fn()
+        path = os.path.join(GOLDEN_DIR, f"{name}.png")
+        surface.save_png(path)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    generate()
