@@ -78,6 +78,9 @@ class RendererConfig:
     # GPU-driven culling: per-draw frustum culling each frame; occlusion
     # culling (vs previous-frame Hi-Z) is opt-in via set_occlusion_culling.
     frustum_culling: bool = True
+    # Dev loop: watch kernel modules and re-trace on change (the reference's
+    # shader hot reload, pipeline.rs:68-90).
+    watch_kernels: bool = False
     # None = auto: Pallas raster kernel on TPU, jnp scan elsewhere.
     use_pallas: Optional[bool] = None
 
@@ -168,6 +171,12 @@ class Renderer:
         self._scene: Optional[BuiltScene] = None
         self._scene_dirty = True
         self._single_mat_row: Optional[np.ndarray] = None
+        self._compiled_frame = compiled_frame
+        self._kernel_watcher = None
+        if self.config.watch_kernels:
+            from .hot_reload import KernelWatcher
+
+            self._kernel_watcher = KernelWatcher()
         self._pending_resize: Optional[tuple] = None
         self._last_outputs: Optional[FrameOutputs] = None
         self.frame_count = 0
@@ -344,6 +353,13 @@ class Renderer:
         dt = now - self._last_frame_time
         self._last_frame_time = now
 
+        # Kernel hot reload (reference renderer.rs:1566-1585).
+        if self._kernel_watcher is not None:
+            changed = self._kernel_watcher.detect_changes()
+            if changed:
+                frame_mod = self._kernel_watcher.reload(changed)
+                self._compiled_frame = frame_mod.compiled_frame
+
         self._resize_if_needed()
 
         items = self._current_draw_items()
@@ -447,7 +463,7 @@ class Renderer:
             self._frame_config(textured=pool is not None),
             lights_enabled=lights is not None,
         )
-        frame_fn = compiled_frame(config)
+        frame_fn = self._compiled_frame(config)
         post = PostParams(
             exposure=np.float32(self.tonemapping_exposure),
             gamma=np.float32(self.tonemapping_gamma),
