@@ -17,6 +17,7 @@ from .lighting import (
     PointLight,
 )
 from .bloom import BloomConfig, BloomFeature
+from .post_processing import PostProcessingConfig, PostProcessingFeature
 from .tonemapping import TonemapOperator, TonemappingConfig, TonemappingFeature
 from .light_culling import (
     MAX_LIGHTS,
@@ -39,6 +40,8 @@ __all__ = [
     "LightingFeature",
     "BloomConfig",
     "BloomFeature",
+    "PostProcessingConfig",
+    "PostProcessingFeature",
     "TonemapOperator",
     "TonemappingConfig",
     "TonemappingFeature",

@@ -88,6 +88,7 @@ class FrameConfig:
     bloom_mips: int = 5
     tonemap_operator: str = "aces"
     taa_enabled: bool = False
+    fxaa_enabled: bool = False  # post-tonemap LDR pass (ops/fxaa.py)
     # Supersampling factor (MSAA equivalent: ordered-grid SSAA + box resolve;
     # reference msaa_targets.rs). 1 = off.
     ssaa_scale: int = 1
@@ -294,6 +295,11 @@ def render_frame_program(
         encoded = color  # gamma already applied by the tonemap pass
     else:
         encoded = _srgb_encode(color) if cfg.srgb_output else color
+
+    if cfg.fxaa_enabled:
+        from ..ops.fxaa import fxaa
+
+        encoded = fxaa(encoded)
 
     rgb_u8 = jnp.clip(encoded * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     alpha = jnp.full((cfg.height, cfg.width, 1), 255, jnp.uint8)

@@ -154,6 +154,7 @@ class Renderer:
         self.bloom_intensity = 0.5
         self.bloom_threshold = 0.8
         self.msaa = MsaaPreset.OFF
+        self.fxaa_enabled = False
         self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
         self._taa_history = None
         self.occlusion_culling = False
@@ -342,6 +343,7 @@ class Renderer:
                 self.tonemapping_operator if self.tonemapping_enabled else "none"
             ),
             taa_enabled=self.temporal_aa.is_enabled(),
+            fxaa_enabled=self.fxaa_enabled,
             ssaa_scale=MsaaPreset.SCALE[self.msaa],
             frustum_culling=c.frustum_culling,
             occlusion_culling=self.occlusion_culling,
@@ -510,6 +512,14 @@ class Renderer:
 
         ms = self.diagnostics_state.memory_stats
         ms.gpu_used_bytes = self._device_bytes_in_use()
+        if ms.gpu_budget_bytes == 0:
+            try:
+                import jax
+
+                stats = jax.devices()[0].memory_stats() or {}
+                ms.gpu_budget_bytes = int(stats.get("bytes_limit", 0))
+            except Exception:
+                pass
         ms.allocation_count = (
             len(self._scene.buffers) if self._scene else 0
         )
@@ -530,6 +540,13 @@ class Renderer:
         if self._taa_history is not None:
             total += int(np.prod(self._taa_history.shape)) * 4
         return total
+
+    def profile_passes(self, view, proj, camera_pos, n: int = 3):
+        """Per-pass device timings (the GpuProfiler readout; see
+        render/pass_profiler.py). Serializes the pipeline — use on demand."""
+        from .pass_profiler import profile_passes
+
+        return profile_passes(self, view, proj, camera_pos, n=n)
 
     def set_diagnostics_mode(self, mode) -> None:
         self.diagnostics_state.mode = mode
@@ -601,6 +618,9 @@ class Renderer:
 
     def set_bloom_threshold(self, threshold: float) -> None:
         self.bloom_threshold = float(threshold)
+
+    def set_fxaa_enabled(self, enabled: bool) -> None:
+        self.fxaa_enabled = bool(enabled)
 
     def set_occlusion_culling(self, enabled: bool) -> None:
         """Enable Hi-Z occlusion culling against last frame's depth."""
