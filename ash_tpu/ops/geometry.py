@@ -47,14 +47,34 @@ class TransformedVerts(NamedTuple):
 
 
 class TriangleSetup(NamedTuple):
-    """Per-triangle raster setup (length T)."""
+    """Per-triangle raster setup (length T).
 
-    xy: jnp.ndarray  # (T, 3, 2) framebuffer-space vertex positions
-    z: jnp.ndarray  # (T, 3) NDC depth per vertex in [0,1]
-    inv_w: jnp.ndarray  # (T, 3) 1/clip_w per vertex (perspective correction)
-    area2: jnp.ndarray  # (T,) signed shoelace cross in fb coords
-    valid: jnp.ndarray  # (T,) bool: passes near/degenerate/cull/scissor tests
-    bbox: jnp.ndarray  # (T, 4) float [x0, y0, x1, y1] framebuffer bounds
+    `edge` holds the CLIPLESS (2D homogeneous) rasterization coefficients:
+    for viewport-scaled clip coordinates p_i = (a_i, b_i, c_i) with
+    a = (x_clip + w) * W/2, b = (y_clip + w) * H/2, c = w (all LINEAR in
+    clip space — no divide), edge[i] is row i of adj(M)/det(M) where M has
+    the p_i as columns. Then for a pixel q = (px, py, 1):
+
+        lam_i(q) = edge[i] . q          (homogeneous barycentric / w)
+        inside   = all lam_i >= 0 and sum(lam_i) > 0 (front side of the eye)
+        z(q)     = sum_i lam_i * z_clip_i        (NDC depth, no divide)
+        weights  = lam_i / sum(lam)              (perspective-correct)
+
+    This handles triangles CROSSING THE NEAR PLANE without polygon clipping
+    (Olano-Greer style homogeneous rasterization) — the natural fit for a
+    static-shape TPU pipeline, where clipping's dynamic triangle counts
+    would poison every downstream shape.
+    """
+
+    xy: jnp.ndarray  # (T, 3, 2) fb-space positions (w>0 verts; diagnostics)
+    z: jnp.ndarray  # (T, 3) NDC depth per vertex (w>0 verts)
+    inv_w: jnp.ndarray  # (T, 3) 1/clip_w per vertex
+    area2: jnp.ndarray  # (T,) signed shoelace cross in fb coords (w>0 tris)
+    valid: jnp.ndarray  # (T,) bool: passes degenerate/cull/scissor tests
+    bbox: jnp.ndarray  # (T, 4) float [x0, y0, x1, y1] fb bounds
+    edge: jnp.ndarray  # (T, 3, 3) adj(M)/det rows (see above)
+    z_clip: jnp.ndarray  # (T, 3) clip-space z per vertex
+    det: jnp.ndarray  # (T,) homogeneous orientation (front <=> det < 0)
 
 
 def inverse_transpose_3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -140,8 +160,8 @@ def triangle_setup(
     height: int,
     cull_mode: str = "back",
 ) -> TriangleSetup:
-    """Per-triangle raster setup with near-plane rejection, face culling and
-    scissor rejection.
+    """Per-triangle clipless raster setup (see TriangleSetup) with face
+    culling and scissor rejection.
 
     cull_mode: 'back' (PBR pass), 'front' (shadow pass), 'none'.
     """
@@ -149,36 +169,67 @@ def triangle_setup(
     xy = xy_all[tri_v]  # (T, 3, 2)
     z = z_all[tri_v]  # (T, 3)
     inv_w = inv_w_all[tri_v]
-    w = clip[:, 3][tri_v]  # (T, 3)
+    tclip = clip[tri_v]  # (T, 3, 4)
+    w = tclip[..., 3]  # (T, 3)
 
     v0, v1, v2 = xy[:, 0], xy[:, 1], xy[:, 2]
     area2 = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (
         v1[:, 1] - v0[:, 1]
     ) * (v2[:, 0] - v0[:, 0])
 
-    # Vulkan facing: negated shoelace in y-down fb coords => front <=> area2<0.
+    # Viewport-scaled homogeneous columns p_i = (a_i, b_i, c_i): LINEAR in
+    # clip coordinates, finite even for w <= 0.
+    a = (tclip[..., 0] + w) * (0.5 * width)  # (T, 3)
+    b = (tclip[..., 1] + w) * (0.5 * height)
+    c = w
+    cols = jnp.stack([a, b, c], axis=-1)  # (T, 3[vertex], 3[component])
+    p0, p1, p2 = cols[:, 0], cols[:, 1], cols[:, 2]
+    e0 = jnp.cross(p1, p2)  # adjugate rows: lam_0 coefficients
+    e1 = jnp.cross(p2, p0)
+    e2 = jnp.cross(p0, p1)
+    det = jnp.sum(p0 * e0, axis=-1)  # (T,)
+
+    # Facing in homogeneous space: same sign convention as area2 when all
+    # w > 0 (front <=> negative), and remains correct for near-crossers.
     if cull_mode == "back":
-        face_ok = area2 < 0.0
+        face_ok = det < 0.0
     elif cull_mode == "front":
-        face_ok = area2 > 0.0
+        face_ok = det > 0.0
     elif cull_mode == "none":
-        face_ok = area2 != 0.0
+        face_ok = det != 0.0
     else:  # pragma: no cover - config error
         raise ValueError(f"bad cull_mode {cull_mode!r}")
 
-    near_ok = jnp.all(w > NEAR_EPS, axis=-1)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    edge = jnp.stack([e0, e1, e2], axis=1) * inv_det[:, None, None]
+    z_clip = tclip[..., 2]
 
+    # Bounding box: projected bbox when fully in front; near-crossers extend
+    # unboundedly in screen space -> conservative full-screen bbox.
+    all_front = jnp.all(w > NEAR_EPS, axis=-1)
+    any_front = jnp.any(w > NEAR_EPS, axis=-1)
     x0 = jnp.min(xy[:, :, 0], axis=-1)
     x1 = jnp.max(xy[:, :, 0], axis=-1)
     y0 = jnp.min(xy[:, :, 1], axis=-1)
     y1 = jnp.max(xy[:, :, 1], axis=-1)
+    fw = jnp.float32(width)
+    fh = jnp.float32(height)
+    x0 = jnp.where(all_front, x0, 0.0)
+    y0 = jnp.where(all_front, y0, 0.0)
+    x1 = jnp.where(all_front, x1, fw)
+    y1 = jnp.where(all_front, y1, fh)
     on_screen = (x1 >= 0.0) & (x0 < width) & (y1 >= 0.0) & (y0 < height)
-    depth_ok = (jnp.max(z, axis=-1) >= 0.0) & (jnp.min(z, axis=-1) <= 1.0)
+    depth_ok = jnp.where(
+        all_front,
+        (jnp.max(z, axis=-1) >= 0.0) & (jnp.min(z, axis=-1) <= 1.0),
+        True,  # cannot bound depth for near-crossers; per-pixel test decides
+    )
 
-    valid = tri_valid & near_ok & face_ok & on_screen & depth_ok
+    valid = tri_valid & any_front & face_ok & on_screen & depth_ok
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
     return TriangleSetup(
-        xy=xy, z=z, inv_w=inv_w, area2=area2, valid=valid, bbox=bbox
+        xy=xy, z=z, inv_w=inv_w, area2=area2, valid=valid, bbox=bbox,
+        edge=edge, z_clip=z_clip, det=det,
     )
 
 

@@ -20,9 +20,10 @@ Depth semantics match the reference PBR pipeline: CompareOp::LESS, depth range
 equal depth resolve to the EARLIER triangle (sequential submission order),
 matching GPU draw order.
 
-No polygon clipping is performed: triangles crossing the near plane are
-discarded in triangle_setup (ops/geometry.py NEAR_EPS). This matches typical
-tiled software rasterizers; scenes keep geometry in front of the near plane.
+No polygon clipping is performed OR needed: coverage/depth evaluate in 2D
+homogeneous coordinates (geometry.TriangleSetup), so triangles crossing the
+near plane rasterize their in-front part exactly — dynamic clipping would
+poison the static shapes the whole TPU pipeline depends on.
 """
 
 from __future__ import annotations
@@ -44,18 +45,14 @@ class VisibilityBuffer(NamedTuple):
 def _gather_tile_tris(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
     """Pack per-triangle raster data gathered per tile slot.
 
-    Returns (num_tiles, K, 10): x0 y0 x1 y1 x2 y2 z0 z1 z2 area2.
-    Slot -1 (padding) gathers triangle 0 but is masked by the id check in the
-    raster loop.
+    Returns (num_tiles, K, 12): the 3x3 homogeneous edge matrix (row-major)
+    followed by the 3 clip-space z values. Slot -1 (padding) gathers triangle
+    0 but is masked by the id check in the raster loop.
     """
     ids = jnp.maximum(tri_ids, 0)
-    xy = setup.xy[ids]  # (num_tiles, K, 3, 2)
-    z = setup.z[ids]  # (num_tiles, K, 3)
-    area2 = setup.area2[ids]  # (num_tiles, K)
-    flat = jnp.concatenate(
-        [xy.reshape(*ids.shape, 6), z, area2[..., None]], axis=-1
-    )
-    return flat
+    edge = setup.edge[ids]  # (num_tiles, K, 3, 3)
+    zc = setup.z_clip[ids]  # (num_tiles, K, 3)
+    return jnp.concatenate([edge.reshape(*ids.shape, 9), zc], axis=-1)
 
 
 def _pixel_centers(num_tiles: int, tx: int, tile_h: int, tile_w: int, y0=0):
@@ -75,30 +72,26 @@ def _pixel_centers(num_tiles: int, tx: int, tile_h: int, tile_w: int, y0=0):
 
 
 def coverage_and_depth(tri, px, py):
-    """Evaluate one triangle per tile over the tile's pixels.
+    """Evaluate one triangle per tile over the tile's pixels (clipless
+    homogeneous form — see geometry.TriangleSetup).
 
-    tri: (num_tiles, 10) packed row from _gather_tile_tris.
+    tri: (num_tiles, 12) packed row from _gather_tile_tris.
     px/py: (num_tiles, TH, TW) pixel centers.
     Returns (inside (bool), z (f32)) of shape (num_tiles, TH, TW).
     """
     c = lambda i: tri[:, i][:, None, None]  # noqa: E731
-    x0, y0, x1, y1, x2, y2 = c(0), c(1), c(2), c(3), c(4), c(5)
-    z0, z1, z2 = c(6), c(7), c(8)
-    area2 = c(9)
-    inv_area = 1.0 / jnp.where(area2 == 0.0, 1.0, area2)
-    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-    lam0 = e0 * inv_area
-    lam1 = e1 * inv_area
-    lam2 = 1.0 - lam0 - lam1
+    lam0 = c(0) * px + c(1) * py + c(2)
+    lam1 = c(3) * px + c(4) * py + c(5)
+    lam2 = c(6) * px + c(7) * py + c(8)
+    s = lam0 + lam1 + lam2  # = interpolated 1/w; > 0 on the eye side
     # EPS tolerance: edge functions of adjacent triangles are not exact
     # negations in float32 (and XLA's fma contraction can round them
     # differently), so an exact >= 0 test can reject a shared-edge pixel
     # from BOTH triangles, leaving single-pixel seams. The tolerance admits
     # such pixels into either triangle; the depth test resolves the overlap.
-    eps = -1e-6
-    inside = (lam0 >= eps) & (lam1 >= eps) & (lam2 >= eps) & (area2 != 0.0)
-    z = lam0 * z0 + lam1 * z1 + lam2 * z2
+    thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
+    inside = (lam0 >= thr) & (lam1 >= thr) & (lam2 >= thr) & (s > 0.0)
+    z = lam0 * c(9) + lam1 * c(10) + lam2 * c(11)
     return inside, z
 
 

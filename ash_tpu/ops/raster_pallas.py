@@ -35,17 +35,16 @@ _ROW = 16  # padded per-triangle record width (lane-friendly)
 
 
 def _pack_tile_data(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
-    """(num_tiles, K, 16) packed per-slot triangle records; empty slots get
-    tri_id -1 and zero geometry."""
+    """(num_tiles, K, 16) packed per-slot records: homogeneous edge matrix
+    (9) + clip z (3) + triangle id (1) + pad. Empty slots get tri_id -1."""
     ids = jnp.maximum(tri_ids, 0)
-    xy = setup.xy[ids].reshape(*ids.shape, 6)
-    z = setup.z[ids]
-    area2 = setup.area2[ids][..., None]
+    edge = setup.edge[ids].reshape(*ids.shape, 9)
+    zc = setup.z_clip[ids]
     # Triangle ids ride as float32 (exact for ids < 2^24; binning caps T well
     # below that) — scalar bitcasts are not supported by Mosaic.
     fid = tri_ids.astype(jnp.float32)[..., None]
-    pad = jnp.zeros((*ids.shape, _ROW - 11), jnp.float32)
-    return jnp.concatenate([xy, z, area2, fid, pad], axis=-1)
+    pad = jnp.zeros((*ids.shape, _ROW - 13), jnp.float32)
+    return jnp.concatenate([edge, zc, fid, pad], axis=-1)
 
 
 def _raster_kernel(
@@ -76,33 +75,21 @@ def _raster_kernel(
 
     def loop(k, _):
         row = data_ref[0, k]
-        x0 = row[0]
-        y0v = row[1]
-        x1 = row[2]
-        y1v = row[3]
-        x2 = row[4]
-        y2v = row[5]
-        z0 = row[6]
-        z1 = row[7]
-        z2 = row[8]
-        area2 = row[9]
-        tri = row[10].astype(jnp.int32)
-
-        inv_area = 1.0 / jnp.where(area2 == 0.0, 1.0, area2)
-        e0 = (x2 - x1) * (py - y1v) - (y2v - y1v) * (px - x1)
-        e1 = (x0 - x2) * (py - y2v) - (y0v - y2v) * (px - x2)
-        lam0 = e0 * inv_area
-        lam1 = e1 * inv_area
-        lam2 = 1.0 - lam0 - lam1
-        z = lam0 * z0 + lam1 * z1 + lam2 * z2
+        # Clipless homogeneous coverage (see geometry.TriangleSetup).
+        lam0 = row[0] * px + row[1] * py + row[2]
+        lam1 = row[3] * px + row[4] * py + row[5]
+        lam2 = row[6] * px + row[7] * py + row[8]
+        s = lam0 + lam1 + lam2
+        z = lam0 * row[9] + lam1 * row[10] + lam2 * row[11]
+        tri = row[12].astype(jnp.int32)
         zbuf = z_ref[0]
         # eps tolerance closes shared-edge seams (see ops/raster.py).
-        eps = -1e-6
+        thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
         m = (
-            (lam0 >= eps)
-            & (lam1 >= eps)
-            & (lam2 >= eps)
-            & (area2 != 0.0)
+            (lam0 >= thr)
+            & (lam1 >= thr)
+            & (lam2 >= thr)
+            & (s > 0.0)
             & (tri >= 0)
             & (z >= 0.0)
             & (z <= 1.0)

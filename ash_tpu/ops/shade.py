@@ -112,9 +112,7 @@ def interpolate_gbuffer(
     mask = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
     vids = tri_v[t]  # (H, W, 3)
-    xy = setup.xy[t]  # (H, W, 3, 2)
-    area2 = setup.area2[t]
-    inv_w = setup.inv_w[t]
+    edge = setup.edge[t]  # (H, W, 3, 3) homogeneous edge rows
 
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
     py = (
@@ -122,9 +120,16 @@ def interpolate_gbuffer(
     ).astype(jnp.float32) + 0.5
 
     def weights_at(px_, py_):
-        lam = barycentrics(xy, area2, px_, py_)
-        w0, w1, w2 = perspective_weights(lam, inv_w)
-        return jnp.stack([w0, w1, w2], axis=-1)  # (H, W, 3)
+        # Perspective-correct weights directly from the homogeneous edge
+        # functions: lam_i = edge_i . (px, py, 1); w_i = lam_i / sum(lam)
+        # (geometry.TriangleSetup docs).
+        lam = (
+            edge[..., 0] * px_[..., None]
+            + edge[..., 1] * py_[..., None]
+            + edge[..., 2]
+        )  # (H, W, 3)
+        s = jnp.sum(lam, axis=-1, keepdims=True)
+        return lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
 
     pw = weights_at(px, py)
     world = _interp(pw, verts.world[vids])
@@ -146,7 +151,7 @@ def interpolate_gbuffer(
         tangent=tangent,
         uv=uv,
         color=color,
-        front_facing=area2 < 0.0,
+        front_facing=setup.det[t] < 0.0,
         draw_id=tri_draw[t],
         uv_ddx=uv_x - uv,
         uv_ddy=uv_y - uv,
@@ -180,6 +185,7 @@ def shade_pbr(
     tile_light_indices: Optional[jnp.ndarray] = None,  # (ty, tx, K) int32
     light_tile_size: int = 16,
     y0: int = 0,
+    csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -267,7 +273,12 @@ def shade_pbr(
     diffuse = kd * base_color / PI
 
     # Shadow uses the geometric normal (frag.frag:207-210).
-    if shadow_map is not None:
+    if shadow_map is not None and csm is not None:
+        matrices, splits, view = csm
+        shadow = shadow_ops.shadow_pcf16_csm(
+            shadow_map, matrices, splits, view, gbuf.world, n, light_dir
+        )
+    elif shadow_map is not None:
         wp4 = jnp.concatenate([gbuf.world, jnp.ones_like(gbuf.world[..., :1])], -1)
         pos_light = jnp.einsum(
             "ij,hwj->hwi", uniforms.light_space_matrix, wp4,

@@ -71,3 +71,67 @@ def shadow_pcf16(
 
     # Outside the light frustum far plane -> no shadow (frag.frag:60-61).
     return jnp.where(proj[..., 2] > 1.0, 0.0, shadow)
+
+
+def _gather_quad_layered(maps: jnp.ndarray, layer: jnp.ndarray, u, v):
+    """textureGather on a (C, S, S) cascade array at a per-pixel layer."""
+    c, s_y, s_x = maps.shape
+    flat = maps.reshape(-1)
+    px = u * s_x - 0.5
+    py = v * s_y - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    base = layer * (s_y * s_x)
+    taps = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = (xi >= 0) & (xi < s_x) & (yi >= 0) & (yi < s_y)
+            idx = base + jnp.clip(yi, 0, s_y - 1) * s_x + jnp.clip(xi, 0, s_x - 1)
+            taps.append(jnp.where(inb, flat[idx], 1.0))
+    return jnp.stack(taps, axis=-1)
+
+
+def shadow_pcf16_csm(
+    cascade_maps: jnp.ndarray,  # (C, S, S) per-cascade depth
+    cascade_matrices: jnp.ndarray,  # (C, 4, 4) light-space matrices
+    split_distances: jnp.ndarray,  # (C,) cascade far distances (view space)
+    view: jnp.ndarray,  # (4, 4) camera view matrix
+    world: jnp.ndarray,  # (..., 3) world position
+    normal: jnp.ndarray,  # (..., 3)
+    light_dir: jnp.ndarray,  # (..., 3) toward light
+) -> jnp.ndarray:
+    """Cascaded 16-tap PCF: select the cascade by view-space distance
+    (split scheme from render/csm.py, reference shadow.rs), then apply the
+    same PCF kernel as the single-map path."""
+    c = cascade_maps.shape[0]
+    view_z = -(
+        jnp.einsum("j,...j->...", view[2, :3], world) + view[2, 3]
+    )  # positive distance in front of the camera
+    layer = jnp.sum(
+        (view_z[..., None] > split_distances[:c]).astype(jnp.int32), axis=-1
+    )
+    layer = jnp.clip(layer, 0, c - 1)
+
+    mats = cascade_matrices[layer]  # (..., 4, 4)
+    w4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], -1)
+    pos_light = jnp.einsum("...ij,...j->...i", mats, w4)
+    w = pos_light[..., 3]
+    proj = pos_light[..., :3] / jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)[..., None]
+    proj = proj * 0.5 + 0.5
+    current = proj[..., 2]
+
+    ndl = jnp.sum(normal * light_dir, axis=-1)
+    bias = jnp.maximum(0.05 * (1.0 - ndl), 0.005)
+    compare = (current - bias)[..., None]
+
+    s = cascade_maps.shape[1]
+    ts = 1.0 / s
+    u, v = proj[..., 0], proj[..., 1]
+    shadow = jnp.zeros_like(current)
+    for ox, oy in ((-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0), (1.0, 1.0)):
+        quad = _gather_quad_layered(cascade_maps, layer, u + ox * ts, v + oy * ts)
+        shadow = shadow + jnp.sum((compare > quad).astype(jnp.float32), axis=-1)
+    shadow = shadow / 16.0
+    return jnp.where(proj[..., 2] > 1.0, 0.0, shadow)

@@ -86,14 +86,20 @@ class CascadedShadowMap:
     ) -> np.ndarray:
         """World-space corners of a view-frustum slice (shadow.rs:164-200).
 
-        Uses the reference's NDC-z mapping of view distances (its formula
-        assumes a GL-style [-1,1] depth; replicated as-is for parity)."""
+        Deviation from the reference: its formula maps view distances to a
+        GL-style [-1, 1] NDC z, but the matrices in play use [0, 1] depth
+        (glam perspective_rh) — with them its slices land in the wrong world
+        region (latent: the reference never wired CSM to a pass). We compute
+        the NDC z of a view distance t exactly from the projection:
+        ndc_z(t) = (p23 - p22 * t) / t for clip_w = t."""
         inv_vp = np.linalg.inv(proj @ view)
-        proj_near = proj[2, 3] / (proj[2, 2] - 1.0)
-        proj_far = proj[2, 3] / (proj[2, 2] + 1.0)
-        near_ndc = (near_split - proj_near) / (proj_far - proj_near) * 2.0 - 1.0
-        far_ndc = (far_split - proj_near) / (proj_far - proj_near) * 2.0 - 1.0
-        zs = [max(near_ndc, -1.0)] * 4 + [min(far_ndc, 1.0)] * 4
+
+        def ndc_z(t):
+            return float((proj[2, 3] - proj[2, 2] * t) / max(t, 1e-6))
+
+        zs = [min(max(ndc_z(near_split), 0.0), 1.0)] * 4 + [
+            min(max(ndc_z(far_split), 0.0), 1.0)
+        ] * 4
         xy = [(-1, -1), (1, -1), (1, 1), (-1, 1)] * 2
         corners = np.zeros((8, 3), np.float32)
         for i, ((x, y), z) in enumerate(zip(xy, zs)):

@@ -52,6 +52,10 @@ class FrameUniforms(NamedTuple):
     # reference's CullingCameraData, features/light_culling.rs:81-99).
     view: Optional[jnp.ndarray] = None  # (4, 4)
     projection: Optional[jnp.ndarray] = None  # (4, 4)
+    # CSM (when FrameConfig.shadow_cascades > 1): per-cascade light matrices
+    # and split far-distances (render/csm.py GpuCascadeData).
+    cascade_matrices: Optional[jnp.ndarray] = None  # (C, 4, 4)
+    cascade_splits: Optional[jnp.ndarray] = None  # (4,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +71,11 @@ class FrameConfig:
     shadow_resolution: int = 2048
     shadow_tile: int = 128
     shadow_max_tris_per_tile: int = 256
+    # Cascaded shadow maps: 1 = the reference's wired single-map path;
+    # 2-4 renders one depth map per cascade and shading selects by view
+    # distance (the CSM math of render/csm.py, which the reference shipped
+    # without a render path).
+    shadow_cascades: int = 1
     textured: bool = False
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
@@ -177,24 +186,35 @@ def render_frame_program(
 
     shadow_map = None
     if cfg.shadow_enabled:
-        world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
-        clip_l = jnp.einsum(
-            "ij,vj->vi", uni.light_space_matrix, world4,
-            preferred_element_type=jnp.float32,
-        )
         s = cfg.shadow_resolution
-        setup_s = geometry.triangle_setup(
-            clip_l, scene.tri_v, scene.tri_valid, s, s, cull_mode="front"
-        )
-        bins_s = binning.bin_triangles(
-            setup_s.bbox, setup_s.valid, s, s,
-            cfg.shadow_tile, cfg.shadow_tile,
-            cfg.shadow_max_tris_per_tile,
-        )
-        vis_s = _raster(cfg)(
-            setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile
-        )
-        shadow_map = vis_s.depth
+        world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
+
+        def depth_only(light_matrix):
+            clip_l = jnp.einsum(
+                "ij,vj->vi", light_matrix, world4,
+                preferred_element_type=jnp.float32,
+            )
+            setup_s = geometry.triangle_setup(
+                clip_l, scene.tri_v, scene.tri_valid, s, s, cull_mode="front"
+            )
+            bins_s = binning.bin_triangles(
+                setup_s.bbox, setup_s.valid, s, s,
+                cfg.shadow_tile, cfg.shadow_tile,
+                cfg.shadow_max_tris_per_tile,
+            )
+            return _raster(cfg)(
+                setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile
+            ).depth
+
+        if cfg.shadow_cascades > 1:
+            shadow_map = jnp.stack(
+                [
+                    depth_only(uni.cascade_matrices[c])
+                    for c in range(cfg.shadow_cascades)
+                ]
+            )  # (C, S, S)
+        else:
+            shadow_map = depth_only(uni.light_space_matrix)
 
     ss = max(int(cfg.ssaa_scale), 1)
     rw, rh = cfg.width * ss, cfg.height * ss
@@ -265,6 +285,11 @@ def render_frame_program(
             lights=lights if cfg.lights_enabled else None,
             tile_light_indices=tile_light_indices,
             light_tile_size=cfg.light_tile_size,
+            csm=(
+                (uni.cascade_matrices, uni.cascade_splits, uni.view)
+                if cfg.shadow_cascades > 1
+                else None
+            ),
         )
 
     depth = vis.depth

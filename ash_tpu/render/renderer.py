@@ -72,6 +72,11 @@ class RendererConfig:
     shadow_resolution: int = 2048
     shadow_tile: int = 128
     shadow_max_tris_per_tile: int = 256
+    # Cascaded shadow maps: pass a CsmConfig (render/csm.py) to render
+    # cascade_count depth maps fitted to the view frustum instead of the
+    # single scene-sphere map. None = single map (the reference's wired path).
+    csm: Optional[object] = None
+    shadow_distance: float = 50.0  # CSM max shadow distance
     shading: str = "pbr"
     clear_color: tuple = (0.0, 0.0, 0.0)
     debug: bool = False  # enables jax nan-debugging (the "validation layer")
@@ -137,6 +142,11 @@ class Renderer:
 
         self.feature_manager = FeatureManager()
         self.shadow_feature = ShadowFeature()
+        self.csm_manager = None
+        if self.config.csm is not None:
+            from .csm import CascadedShadowMap
+
+            self.csm_manager = CascadedShadowMap(self.config.csm)
         self.lighting_feature = LightingFeature()
         self.feature_manager.add(AutoRotateFeature(), self)
         self.feature_manager.add(self.shadow_feature, self)
@@ -323,6 +333,11 @@ class Renderer:
             use_pallas = jax.default_backend() != "cpu"
         else:
             use_pallas = c.use_pallas
+        cascades = 1
+        shadow_res = c.shadow_resolution
+        if c.csm is not None:
+            cascades = c.csm.cascade_count
+            shadow_res = c.csm.resolution
         return FrameConfig(
             use_pallas=use_pallas,
             width=self._width,
@@ -331,7 +346,8 @@ class Renderer:
             tile_w=c.tile_w,
             max_tris_per_tile=c.max_tris_per_tile,
             shadow_enabled=c.shadows_enabled,
-            shadow_resolution=c.shadow_resolution,
+            shadow_cascades=cascades,
+            shadow_resolution=shadow_res,
             shadow_tile=c.shadow_tile,
             shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,
             textured=textured,
@@ -435,6 +451,18 @@ class Renderer:
 
         light_dir = FRAME_LIGHT_DIR / np.linalg.norm(FRAME_LIGHT_DIR)
         models = build_models(items, self._scene.buffers.num_draws)
+
+        cascade_matrices = cascade_splits = None
+        if self.csm_manager is not None and self.config.shadows_enabled:
+            self.csm_manager.update(
+                view, proj, self.shadow_feature.light_direction,
+                self.config.shadow_distance,
+            )
+            gpu = self.csm_manager.gpu_data()
+            c = self.csm_manager.config.cascade_count
+            cascade_matrices = gpu.light_matrices[:c]
+            cascade_splits = gpu.split_distances
+
         uni = FrameUniforms(
             view_proj=proj @ view,
             camera_pos=np.asarray(camera_pos, np.float32).reshape(3),
@@ -445,6 +473,8 @@ class Renderer:
             models=models,
             view=view,
             projection=proj,
+            cascade_matrices=cascade_matrices,
+            cascade_splits=cascade_splits,
         )
 
         # Forward+ point lights from the lighting feature (packed, padded

@@ -123,8 +123,10 @@ def test_rasterize_depth_test_between_two_faces():
     assert not ({2, 3, 6, 7, 10, 11} & seen)
 
 
-def test_rasterize_near_plane_discard():
-    """A triangle crossing w<=0 is dropped, not clipped (documented)."""
+def test_rasterize_near_plane_crossing():
+    """Clipless rasterization: a triangle crossing the near plane stays
+    valid (full-screen bbox) and rasterizes only its in-front part; a fully
+    behind triangle is rejected."""
     clip = jnp.asarray(
         [[0.0, 0.0, 0.5, 1.0], [1.0, 0.0, 0.5, 1.0], [0.0, 1.0, -0.5, -1.0]],
         jnp.float32,
@@ -133,7 +135,50 @@ def test_rasterize_near_plane_discard():
     setup = geometry.triangle_setup(
         clip, tri_v, jnp.ones(1, bool), 64, 64, cull_mode="none"
     )
-    assert not bool(setup.valid[0])
+    assert bool(setup.valid[0]), "near-crossing triangle must survive"
+    np.testing.assert_allclose(np.asarray(setup.bbox[0]), [0, 0, 64, 64])
+    bins = binning.bin_triangles(
+        setup.bbox, setup.valid, 64, 64, 16, 32, 8
+    )
+    vis = raster.rasterize(setup, bins, 64, 64, 16, 32)
+    assert (np.asarray(vis.tri_id) >= 0).any(), "front part rasterizes"
+
+    behind = jnp.asarray(
+        [[0.0, 0.0, 0.5, -1.0], [1.0, 0.0, 0.5, -1.0], [0.0, 1.0, 0.5, -2.0]],
+        jnp.float32,
+    )
+    setup_b = geometry.triangle_setup(
+        behind, tri_v, jnp.ones(1, bool), 64, 64, cull_mode="none"
+    )
+    assert not bool(setup_b.valid[0])
+
+
+def test_ground_plane_through_camera():
+    """A huge ground plane extending behind the camera renders (the case
+    near-plane DISCARD broke: reference scenes always have one)."""
+    plane = Mesh.create_plane(size=30.0)
+    cam = Camera.new([6.0, 5.0, 10.0], [0, 0, -5], 96 / 64)
+    vp = cam.projection_matrix() @ cam.view_matrix()
+    tv = geometry.transform_vertices(
+        jnp.eye(4)[None], jnp.asarray(vp),
+        jnp.asarray(plane.vertices.position), jnp.asarray(plane.vertices.normal),
+        jnp.asarray(plane.vertices.tangent), jnp.zeros(4, jnp.int32),
+    )
+    setup = geometry.triangle_setup(
+        tv.clip, jnp.asarray(plane.triangle_indices), jnp.ones(2, bool),
+        96, 64,
+    )
+    assert np.asarray(setup.valid).any()
+    bins = binning.bin_triangles(setup.bbox, setup.valid, 64, 96, 16, 32, 8)
+    vis = raster.rasterize(setup, bins, 64, 96, 16, 32)
+    cover = (np.asarray(vis.tri_id) >= 0).mean()
+    assert cover > 0.3, f"ground plane should fill the lower view: {cover}"
+    # Depth increases toward the horizon.
+    d = np.asarray(vis.depth)
+    tid = np.asarray(vis.tri_id)
+    rows = np.where((tid >= 0).any(axis=1))[0]
+    top, bottom = rows.min(), rows.max()
+    assert d[bottom][tid[bottom] >= 0].min() < d[top][tid[top] >= 0].max()
 
 
 def test_perspective_weights_sum_to_one():
