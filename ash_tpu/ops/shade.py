@@ -96,6 +96,7 @@ class GBuffer(NamedTuple):
     draw_id: jnp.ndarray  # (H, W) int32
     uv_ddx: jnp.ndarray  # (H, W, 2) d(uv)/dx for mip selection
     uv_ddy: jnp.ndarray  # (H, W, 2)
+    velocity: Optional[jnp.ndarray] = None  # (H, W, 2) screen-uv motion
 
 
 def interpolate_gbuffer(
@@ -107,6 +108,7 @@ def interpolate_gbuffer(
     vert_uv: jnp.ndarray,  # (V, 2)
     vert_color: jnp.ndarray,  # (V, 3)
     y0=0,  # global framebuffer row of this band (screen-space sharding)
+    prev_clip: Optional[jnp.ndarray] = None,  # (V, 4) last frame's clip pos
 ) -> GBuffer:
     h, w = tri_id.shape
     mask = tri_id >= 0
@@ -144,6 +146,20 @@ def interpolate_gbuffer(
     uv_x = _interp(weights_at(px + 1.0, py), vert_uv[vids])
     uv_y = _interp(weights_at(px, py + 1.0), vert_uv[vids])
 
+    # Motion vectors: interpolate LAST frame's clip position of this surface
+    # point, project, and diff against the pixel's own uv. Feeds the TAA
+    # velocity path (taa_resolve.comp:94-102) — the reference declared a
+    # velocity buffer but had nothing writing it.
+    velocity = None
+    if prev_clip is not None:
+        pc = _interp(pw, prev_clip[vids])  # (H, W, 4)
+        pw_w = jnp.where(jnp.abs(pc[..., 3]) < 1e-6, 1e-6, pc[..., 3])
+        prev_uv = pc[..., :2] / pw_w[..., None] * 0.5 + 0.5
+        cur_uv = jnp.stack([px / w, py / h], axis=-1)
+        velocity = jnp.where(
+            (mask & (pc[..., 3] > 0.0))[..., None], cur_uv - prev_uv, 0.0
+        )
+
     return GBuffer(
         mask=mask,
         world=world,
@@ -155,6 +171,7 @@ def interpolate_gbuffer(
         draw_id=tri_draw[t],
         uv_ddx=uv_x - uv,
         uv_ddy=uv_y - uv,
+        velocity=velocity,
     )
 
 

@@ -38,6 +38,26 @@ def pixel_to_ndc(x: float, y: float, width: int, height: int):
     return (x / width * 2.0 - 1.0, y / height * 2.0 - 1.0)
 
 
+def generate_quad_ndc(x: float, y: float, w: float, h: float,
+                      width: int, height: int, color, uv=(0, 0, 1, 1)):
+    """Two-triangle quad as TextVertex tuples (pos, uv, color) in NDC
+    (reference overlay_types.rs quad helper). Kept for API parity with
+    consumers that build their own overlay geometry."""
+    x0, y0 = pixel_to_ndc(x, y, width, height)
+    x1, y1 = pixel_to_ndc(x + w, y + h, width, height)
+    u0, v0, u1, v1 = uv
+    c = tuple(color)
+    quad = [
+        ((x0, y0), (u0, v0), c),
+        ((x1, y0), (u1, v0), c),
+        ((x1, y1), (u1, v1), c),
+        ((x0, y0), (u0, v0), c),
+        ((x1, y1), (u1, v1), c),
+        ((x0, y1), (u0, v1), c),
+    ]
+    return quad
+
+
 def render_text_patch(lines: List[str], config: OverlayConfig) -> np.ndarray:
     """Rasterize text lines to an RGBA float patch (H, W, 4)."""
     if not lines:

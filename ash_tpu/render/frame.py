@@ -56,6 +56,9 @@ class FrameUniforms(NamedTuple):
     # and split far-distances (render/csm.py GpuCascadeData).
     cascade_matrices: Optional[jnp.ndarray] = None  # (C, 4, 4)
     cascade_splits: Optional[jnp.ndarray] = None  # (4,)
+    # TAA motion vectors: LAST frame's (unjittered) camera + model matrices.
+    prev_view_proj: Optional[jnp.ndarray] = None  # (4, 4)
+    prev_models: Optional[jnp.ndarray] = None  # (D, 4, 4)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,9 +252,25 @@ def render_frame_program(
     )
     vis = _raster(cfg)(setup, bins, rh, rw, cfg.tile_h, cfg.tile_w)
 
+    prev_clip = None
+    if (
+        cfg.taa_enabled
+        and uni.prev_models is not None
+        and uni.prev_view_proj is not None
+    ):
+        pm = uni.prev_models[scene.vert_draw]  # (V, 4, 4)
+        prev_world = (
+            jnp.einsum("vij,vj->vi", pm[:, :3, :3], scene.position)
+            + pm[:, :3, 3]
+        )
+        pw4 = jnp.concatenate(
+            [prev_world, jnp.ones_like(prev_world[:, :1])], -1
+        )
+        prev_clip = jnp.einsum("ij,vj->vi", uni.prev_view_proj, pw4)
+
     gbuf = interpolate_gbuffer(
         vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
-        scene.uv, scene.color,
+        scene.uv, scene.color, prev_clip=prev_clip,
     )
 
     tile_light_indices = None
@@ -293,16 +312,21 @@ def render_frame_program(
         )
 
     depth = vis.depth
+    velocity = gbuf.velocity
     if ss > 1:
         # SSAA resolve: box-average color, min-reduce depth.
         color = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean((1, 3))
         depth = depth.reshape(cfg.height, ss, cfg.width, ss).min((1, 3))
+        if velocity is not None:
+            velocity = velocity.reshape(
+                cfg.height, ss, cfg.width, ss, 2
+            ).mean((1, 3))
 
     new_history = None
     if cfg.post_enabled:
         # HDR post chain: TAA (pre-tonemap) -> bloom -> tonemap + gamma.
         if cfg.taa_enabled and taa_params is not None and history is not None:
-            color = taa_resolve(color, history, taa_params)
+            color = taa_resolve(color, history, taa_params, velocity=velocity)
             new_history = color
         p = post if post is not None else PostParams.default()
         bloom = None

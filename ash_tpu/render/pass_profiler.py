@@ -9,6 +9,11 @@ DeviceProfiler/GpuTimings for the overlay and console.
 
 Scope names follow the reference: FrameStart..ShadowEnd..SceneEnd..
 PostProcessEnd (gpu_profiler.rs named scopes).
+
+Caveat: each scope pays one dispatch round-trip; on a remotely-tunneled chip
+that fixed overhead (~5 ms) can exceed the pass itself, so treat numbers as
+upper bounds there (the fused frame is the ground truth for totals). On
+directly-attached hardware the overhead is tens of microseconds.
 """
 
 from __future__ import annotations

@@ -169,6 +169,9 @@ class Renderer:
         self._taa_history = None
         self.occlusion_culling = False
         self._prev_depth = None
+        # Motion-vector state (unjittered matrices of the previous frame).
+        self._prev_view_proj: Optional[np.ndarray] = None
+        self._prev_models: Optional[np.ndarray] = None
 
         # Diagnostics (reference renderer.rs:2242-2318).
         from .diagnostics import DeviceProfiler, DiagnosticsState, FrameProfiler
@@ -423,6 +426,7 @@ class Renderer:
 
         view = np.asarray(view, np.float32)
         proj = np.asarray(proj, np.float32)
+        unjittered_view_proj = (proj @ view).astype(np.float32)
 
         # TAA: advance jitter and perturb the projection
         # (reference temporal_aa.rs:137-156; applied by the app in the
@@ -475,6 +479,16 @@ class Renderer:
             projection=proj,
             cascade_matrices=cascade_matrices,
             cascade_splits=cascade_splits,
+            prev_view_proj=(
+                self._prev_view_proj if taa_params is not None else None
+            ),
+            prev_models=(
+                self._prev_models
+                if taa_params is not None
+                and self._prev_models is not None
+                and self._prev_models.shape == models.shape
+                else None
+            ),
         )
 
         # Forward+ point lights from the lighting feature (packed, padded
@@ -513,6 +527,8 @@ class Renderer:
             self._taa_history = outputs.history
         if self.occlusion_culling:
             self._prev_depth = outputs.depth
+        self._prev_view_proj = unjittered_view_proj
+        self._prev_models = models
 
         image = outputs.image
         if self.diagnostics_state.mode.overlay_enabled:
