@@ -325,12 +325,34 @@ def shade_pbr(
             lpos = row[..., 0:3]
             lradius = jnp.maximum(row[..., 3], 1e-3)
             lcolor = row[..., 4:7] * row[..., 7:8]  # color * intensity
+            ltype = row[..., 11]  # 0 point, 1 spot, 2 directional
             to_light = lpos - gbuf.world
             dist = jnp.linalg.norm(to_light, axis=-1)
-            ldir = to_light / jnp.maximum(dist, 1e-6)[..., None]
+            ldir_pos = to_light / jnp.maximum(dist, 1e-6)[..., None]
+            # Directional list entries (type 2): constant direction, no
+            # falloff (GpuLight::from_directional_light).
+            ldir = jnp.where(
+                (ltype >= 1.5)[..., None], _normalize(-row[..., 8:11]), ldir_pos
+            )
             # Windowed inverse-square attenuation.
             win = jnp.clip(1.0 - (dist / lradius) ** 4, 0.0, 1.0) ** 2
             atten = win / (dist * dist + 1.0)
+            # Spot cone falloff (type 1): smooth between inner/outer cone
+            # angles (GpuLight params.xy).
+            cos_angle = jnp.sum(_normalize(row[..., 8:11]) * (-ldir_pos), axis=-1)
+            cos_outer = jnp.cos(jnp.maximum(row[..., 13], 1e-3))
+            cos_inner = jnp.cos(jnp.maximum(row[..., 12], 5e-4))
+            spot = jnp.clip(
+                (cos_angle - cos_outer)
+                / jnp.maximum(cos_inner - cos_outer, 1e-4),
+                0.0, 1.0,
+            )
+            atten = jnp.where(
+                ltype >= 1.5, 1.0,  # directional: no attenuation
+                jnp.where(
+                    (ltype >= 0.5), atten * spot * spot, atten
+                ),
+            )
             nl = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
             half_l = _normalize(view_dir + ldir)
             nh = jnp.maximum(jnp.sum(normal * half_l, axis=-1), 0.0)

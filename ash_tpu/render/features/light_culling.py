@@ -41,6 +41,21 @@ class GpuLight:
         )
 
     @staticmethod
+    def from_spot_light(light) -> "GpuLight":
+        """Spot light: type 1, cone angles in params.xy."""
+        d = np.asarray(light.direction, np.float32)
+        d = d / max(float(np.linalg.norm(d)), 1e-8)
+        return GpuLight(
+            position=np.array([*light.position, light.radius], np.float32),
+            color=np.array([*light.color, light.intensity], np.float32),
+            direction=np.array([*d, 1.0], np.float32),
+            params=np.array(
+                [light.inner_cone_angle, light.outer_cone_angle, 1.0, 1.0],
+                np.float32,
+            ),
+        )
+
+    @staticmethod
     def from_directional_light(light: DirectionalLight) -> "GpuLight":
         return GpuLight(
             position=np.array([0, 0, 0, np.finfo(np.float32).max], np.float32),

@@ -38,6 +38,19 @@ class PointLight:
 
 
 @dataclasses.dataclass
+class SpotLight:
+    position: np.ndarray
+    direction: np.ndarray
+    color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    intensity: float = 1.0
+    radius: float = 10.0
+    inner_cone_angle: float = 0.3  # radians
+    outer_cone_angle: float = 0.5
+
+
+@dataclasses.dataclass
 class LightingConfig:
     ambient: np.ndarray = dataclasses.field(
         default_factory=lambda: np.full(3, 0.1, np.float32)
@@ -51,6 +64,8 @@ class LightingFeature(RenderFeature):
         self.directional: DirectionalLight | None = DirectionalLight()
         self.point_lights: List[PointLight] = []
 
+        self.spot_lights: List[SpotLight] = []
+
     def add_point_light(self, light: PointLight) -> int:
         if len(self.point_lights) >= self.config.max_point_lights:
             raise ValueError(
@@ -59,5 +74,10 @@ class LightingFeature(RenderFeature):
         self.point_lights.append(light)
         return len(self.point_lights) - 1
 
+    def add_spot_light(self, light: SpotLight) -> int:
+        self.spot_lights.append(light)
+        return len(self.spot_lights) - 1
+
     def clear_point_lights(self) -> None:
         self.point_lights.clear()
+        self.spot_lights.clear()

@@ -491,18 +491,24 @@ class Renderer:
             ),
         )
 
-        # Forward+ point lights from the lighting feature (packed, padded
-        # to a power-of-two bucket so the frame function shape is stable).
+        # Forward+ lights from the lighting feature (packed, padded to a
+        # power-of-two bucket so the frame function shape is stable).
         lights = None
-        point_lights = self.lighting_feature.point_lights
-        if point_lights:
-            n = len(point_lights)
+        gpu_lights = [
+            GpuLight.from_point_light(pl)
+            for pl in self.lighting_feature.point_lights
+        ] + [
+            GpuLight.from_spot_light(sl)
+            for sl in self.lighting_feature.spot_lights
+        ]
+        if gpu_lights:
+            n = len(gpu_lights)
             pad = 8
             while pad < n:
                 pad *= 2
             lights = np.zeros((pad, 16), np.float32)
-            for i, pl in enumerate(point_lights):
-                lights[i] = GpuLight.from_point_light(pl).flat()
+            for i, gl in enumerate(gpu_lights):
+                lights[i] = gl.flat()
 
         pool = self.bindless.pool()
         config = dataclasses.replace(
@@ -619,6 +625,23 @@ class Renderer:
                 color=np.asarray(color, np.float32),
                 intensity=float(intensity),
                 radius=float(radius),
+            )
+        )
+
+    def add_spot_light(self, position, direction, color=(1, 1, 1),
+                       intensity=1.0, radius=10.0,
+                       inner_cone_angle=0.3, outer_cone_angle=0.5) -> int:
+        from .features.lighting import SpotLight
+
+        return self.lighting_feature.add_spot_light(
+            SpotLight(
+                position=np.asarray(position, np.float32),
+                direction=np.asarray(direction, np.float32),
+                color=np.asarray(color, np.float32),
+                intensity=float(intensity),
+                radius=float(radius),
+                inner_cone_angle=float(inner_cone_angle),
+                outer_cone_angle=float(outer_cone_angle),
             )
         )
 
