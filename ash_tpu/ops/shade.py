@@ -203,6 +203,7 @@ def shade_pbr(
     light_tile_size: int = 16,
     y0: int = 0,
     csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
+    csm_blend_size: float = 0.0,
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -293,7 +294,8 @@ def shade_pbr(
     if shadow_map is not None and csm is not None:
         matrices, splits, view = csm
         shadow = shadow_ops.shadow_pcf16_csm(
-            shadow_map, matrices, splits, view, gbuf.world, n, light_dir
+            shadow_map, matrices, splits, view, gbuf.world, n, light_dir,
+            blend_size=csm_blend_size,
         )
     elif shadow_map is not None:
         wp4 = jnp.concatenate([gbuf.world, jnp.ones_like(gbuf.world[..., :1])], -1)

@@ -93,6 +93,27 @@ def _gather_quad_layered(maps: jnp.ndarray, layer: jnp.ndarray, u, v):
     return jnp.stack(taps, axis=-1)
 
 
+def _pcf16_at_layer(cascade_maps, cascade_matrices, layer, world, bias):
+    """16-tap PCF against one per-pixel cascade layer."""
+    mats = cascade_matrices[layer]  # (..., 4, 4)
+    w4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], -1)
+    pos_light = jnp.einsum("...ij,...j->...i", mats, w4)
+    w = pos_light[..., 3]
+    proj = pos_light[..., :3] / jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)[..., None]
+    proj = proj * 0.5 + 0.5
+    compare = (proj[..., 2] - bias)[..., None]
+
+    s = cascade_maps.shape[1]
+    ts = 1.0 / s
+    u, v = proj[..., 0], proj[..., 1]
+    shadow = jnp.zeros_like(proj[..., 2])
+    for ox, oy in ((-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0), (1.0, 1.0)):
+        quad = _gather_quad_layered(cascade_maps, layer, u + ox * ts, v + oy * ts)
+        shadow = shadow + jnp.sum((compare > quad).astype(jnp.float32), axis=-1)
+    shadow = shadow / 16.0
+    return jnp.where(proj[..., 2] > 1.0, 0.0, shadow)
+
+
 def shadow_pcf16_csm(
     cascade_maps: jnp.ndarray,  # (C, S, S) per-cascade depth
     cascade_matrices: jnp.ndarray,  # (C, 4, 4) light-space matrices
@@ -101,10 +122,12 @@ def shadow_pcf16_csm(
     world: jnp.ndarray,  # (..., 3) world position
     normal: jnp.ndarray,  # (..., 3)
     light_dir: jnp.ndarray,  # (..., 3) toward light
+    blend_size: float = 0.0,  # CsmConfig.blend_size (NDC-ish fraction); 0=hard
 ) -> jnp.ndarray:
     """Cascaded 16-tap PCF: select the cascade by view-space distance
-    (split scheme from render/csm.py, reference shadow.rs), then apply the
-    same PCF kernel as the single-map path."""
+    (split scheme from render/csm.py, reference shadow.rs), apply the same
+    PCF kernel as the single-map path, and optionally blend with the next
+    cascade near split boundaries (CsmConfig.blend_cascades/blend_size)."""
     c = cascade_maps.shape[0]
     view_z = -(
         jnp.einsum("j,...j->...", view[2, :3], world) + view[2, 3]
@@ -114,24 +137,25 @@ def shadow_pcf16_csm(
     )
     layer = jnp.clip(layer, 0, c - 1)
 
-    mats = cascade_matrices[layer]  # (..., 4, 4)
-    w4 = jnp.concatenate([world, jnp.ones_like(world[..., :1])], -1)
-    pos_light = jnp.einsum("...ij,...j->...i", mats, w4)
-    w = pos_light[..., 3]
-    proj = pos_light[..., :3] / jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)[..., None]
-    proj = proj * 0.5 + 0.5
-    current = proj[..., 2]
-
     ndl = jnp.sum(normal * light_dir, axis=-1)
     bias = jnp.maximum(0.05 * (1.0 - ndl), 0.005)
-    compare = (current - bias)[..., None]
 
-    s = cascade_maps.shape[1]
-    ts = 1.0 / s
-    u, v = proj[..., 0], proj[..., 1]
-    shadow = jnp.zeros_like(current)
-    for ox, oy in ((-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0), (1.0, 1.0)):
-        quad = _gather_quad_layered(cascade_maps, layer, u + ox * ts, v + oy * ts)
-        shadow = shadow + jnp.sum((compare > quad).astype(jnp.float32), axis=-1)
-    shadow = shadow / 16.0
-    return jnp.where(proj[..., 2] > 1.0, 0.0, shadow)
+    shadow = _pcf16_at_layer(cascade_maps, cascade_matrices, layer, world, bias)
+    if blend_size > 0.0 and c > 1:
+        # Blend fraction: how close view_z is to this cascade's far split,
+        # as a fraction of the split distance (reference blend_size, a
+        # [0, 1] region near the boundary, shadow.rs:30-31).
+        split = split_distances[jnp.clip(layer, 0, c - 1)]
+        frac = jnp.clip(
+            (view_z - split * (1.0 - blend_size))
+            / jnp.maximum(split * blend_size, 1e-6),
+            0.0,
+            1.0,
+        )
+        next_layer = jnp.clip(layer + 1, 0, c - 1)
+        shadow_next = _pcf16_at_layer(
+            cascade_maps, cascade_matrices, next_layer, world, bias
+        )
+        blend = jnp.where(next_layer > layer, frac, 0.0)
+        shadow = shadow * (1.0 - blend) + shadow_next * blend
+    return shadow

@@ -79,6 +79,7 @@ class FrameConfig:
     # distance (the CSM math of render/csm.py, which the reference shipped
     # without a render path).
     shadow_cascades: int = 1
+    csm_blend_size: float = 0.0  # >0 enables cascade blending (CsmConfig)
     textured: bool = False
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
@@ -309,6 +310,7 @@ def render_frame_program(
                 if cfg.shadow_cascades > 1
                 else None
             ),
+            csm_blend_size=cfg.csm_blend_size,
         )
 
     depth = vis.depth

@@ -88,6 +88,10 @@ class RendererConfig:
     watch_kernels: bool = False
     # None = auto: Pallas raster kernel on TPU, jnp scan elsewhere.
     use_pallas: Optional[bool] = None
+    # Persist compiled frame programs across processes (the reference's
+    # serialized vkPipelineCache, pipeline_cache.rs:45-53). Path to a cache
+    # directory, or None.
+    compilation_cache_dir: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -122,6 +126,10 @@ class Renderer:
             import jax
 
             jax.config.update("jax_debug_nans", True)
+        if self.config.compilation_cache_dir:
+            from .pipeline_cache import PipelineCache
+
+            PipelineCache.enable_persistence(self.config.compilation_cache_dir)
 
         self._width, self._height = surface.physical_size()
 
@@ -307,8 +315,14 @@ class Renderer:
         size = self._pending_resize or self.surface.physical_size()
         self._pending_resize = None
         if size != (self._width, self._height):
-            # Re-specialization happens implicitly via the FrameConfig key.
+            # Re-specialization happens implicitly via the FrameConfig key;
+            # resolution-shaped temporal state must be dropped (the analog of
+            # the reference recreating per-swapchain resources,
+            # renderer.rs:1169-1218).
             self._width, self._height = size
+            self._taa_history = None
+            self._prev_depth = None
+            self.temporal_aa.reset_history()
 
     # ------------------------------------------------------------------
     # Frame loop (reference renderer.rs:1553-2041)
@@ -338,9 +352,12 @@ class Renderer:
             use_pallas = c.use_pallas
         cascades = 1
         shadow_res = c.shadow_resolution
+        csm_blend = 0.0
         if c.csm is not None:
             cascades = c.csm.cascade_count
             shadow_res = c.csm.resolution
+            if c.csm.blend_cascades:
+                csm_blend = c.csm.blend_size
         return FrameConfig(
             use_pallas=use_pallas,
             width=self._width,
@@ -350,6 +367,7 @@ class Renderer:
             max_tris_per_tile=c.max_tris_per_tile,
             shadow_enabled=c.shadows_enabled,
             shadow_cascades=cascades,
+            csm_blend_size=csm_blend,
             shadow_resolution=shadow_res,
             shadow_tile=c.shadow_tile,
             shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,

@@ -131,6 +131,16 @@ def main():
         f"overflow {int(out.binning_overflow)}",
         file=sys.stderr,
     )
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        in_use = stats.get("bytes_in_use", 0)
+        print(
+            f"device memory in use: {in_use / 2**20:.1f} MiB "
+            f"(reference idle target < 200 MB)",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
     if args.save:
         surface.save_png(args.save)
         print(f"saved {args.save}", file=sys.stderr)

@@ -83,3 +83,27 @@ def test_csm_vs_single_map_similar_output():
     # most pixels close.
     close = (np.abs(single - csm)[..., :3].max(-1) < 60).mean()
     assert close > 0.85, f"only {close:.2%} pixels close"
+
+
+def test_csm_cascade_blending_smooths_boundary():
+    """Blend on vs off must both render; blended differs near splits only."""
+    import jax.numpy as jnp
+
+    from ash_tpu.ops import shadow as shadow_ops
+
+    maps = jnp.stack([jnp.full((32, 32), 0.3), jnp.ones((32, 32))])
+    mats = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    splits = jnp.asarray([10.0, 40.0, 1e9, 1e9])
+    view = jnp.asarray(np.eye(4, dtype=np.float32))
+    # Points straddling the first split at z=-10 (view dist 10).
+    world = jnp.asarray([[0.0, 0.0, -9.0], [0.0, 0.0, -9.9], [0.0, 0.0, -11.0]])
+    normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (3, 1))
+    ldir = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (3, 1))
+    hard = np.asarray(shadow_ops.shadow_pcf16_csm(
+        maps, mats, splits, view, world, normal, ldir, blend_size=0.0))
+    soft = np.asarray(shadow_ops.shadow_pcf16_csm(
+        maps, mats, splits, view, world, normal, ldir, blend_size=0.2))
+    # Far from the boundary: identical. Near the boundary: blended value
+    # moves toward the next cascade's result.
+    np.testing.assert_allclose(hard[0], soft[0], atol=1e-6)
+    assert hard.shape == soft.shape == (3,)

@@ -118,3 +118,29 @@ def test_flat_shading_triangle_example():
     c = img[32, 32]
     # Front face is pure red vertex color.
     assert c[0] > 200 and c[1] < 30 and c[2] < 30
+
+
+def test_resize_respecializes_and_clears_temporal_state():
+    """Resize mid-run: new extent renders; TAA history/prev-depth dropped
+    (reference swapchain-recreate analog, renderer.rs:1093-1545)."""
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.initialize_hdr()
+    r.set_taa_enabled(True)
+    r.set_occlusion_culling(True)
+    view, proj, pos = _camera(64, 64)
+    r.render_frame(view, proj, pos)
+    r.render_frame(view, proj, pos)
+    assert r._taa_history is not None and r._taa_history.shape[0] == 64
+
+    surface.resize(96, 80)
+    view, proj, pos = _camera(96, 80)
+    out = r.render_frame(view, proj, pos)
+    img = surface.read_back()
+    assert img.shape == (80, 96, 4)
+    assert out.history.shape == (80, 96, 3)
