@@ -172,6 +172,9 @@ def load_glb_mesh(path_or_bytes) -> "Mesh":  # noqa: F821
             occlusion_strength=mat.get("occlusionTexture", {}).get("strength", 1.0),
             normal_scale=mat.get("normalTexture", {}).get("scale", 1.0),
         )
+        # glTF alphaMode MASK -> alpha-test cutoff (default 0.5 per spec).
+        if mat.get("alphaMode") == "MASK":
+            props.alpha_cutoff = mat.get("alphaCutoff", 0.5)
         if "baseColorTexture" in pbr:
             tex["texture_data"] = _decode_image(
                 gltf, binary, _texture_image(gltf, pbr["baseColorTexture"]["index"]), True)

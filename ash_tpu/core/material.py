@@ -22,6 +22,10 @@ class Material:
     emissive: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     occlusion_strength: float = 1.0
     normal_scale: float = 1.0
+    # > 0 enables alpha-test (cutout) rendering against the base texture's
+    # alpha (glTF alphaMode MASK; the reference carries this through
+    # MaterialUniform.alpha_cutoff, uniform.rs:28-39).
+    alpha_cutoff: float = 0.0
 
     @staticmethod
     def with_color(name: str, color) -> "Material":
@@ -40,6 +44,19 @@ class MaterialProperties:
     emissive_factor: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     occlusion_strength: float = 1.0
     normal_scale: float = 1.0
+    alpha_cutoff: float = 0.0  # glTF alphaMode MASK threshold; 0 = off
+
+    def to_material(self, name: str = "gltf") -> Material:
+        return Material(
+            name=name,
+            color=tuple(self.base_color_factor),
+            roughness=self.roughness_factor,
+            metallic=self.metallic_factor,
+            emissive=tuple(self.emissive_factor),
+            occlusion_strength=self.occlusion_strength,
+            normal_scale=self.normal_scale,
+            alpha_cutoff=self.alpha_cutoff,
+        )
 
     @staticmethod
     def from_material(mat: Material) -> "MaterialProperties":
@@ -50,6 +67,7 @@ class MaterialProperties:
             emissive_factor=tuple(mat.emissive),
             occlusion_strength=mat.occlusion_strength,
             normal_scale=mat.normal_scale,
+            alpha_cutoff=mat.alpha_cutoff,
         )
 
 

@@ -28,7 +28,7 @@ poison the static shapes the whole TPU pipeline depends on.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,11 @@ from .geometry import TriangleSetup
 class VisibilityBuffer(NamedTuple):
     depth: jnp.ndarray  # (H, W) float32, 1.0 = far/clear
     tri_id: jnp.ndarray  # (H, W) int32, -1 = background
+    # Second-nearest layer (only when rasterized with layers=2; else None).
+    # Feeds alpha-test resolution: pixels whose nearest triangle is cut out
+    # fall through to this layer (depth-2 peeling in one pass).
+    depth2: Optional[jnp.ndarray] = None
+    tri_id2: Optional[jnp.ndarray] = None
 
 
 def _gather_tile_tris(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +130,7 @@ def rasterize(
     tile_w: int,
     unroll: int = 8,
     y0=0,
+    layers: int = 1,
 ) -> VisibilityBuffer:
     """Scan-based rasterizer: one triangle per tile per scan step.
 
@@ -134,12 +140,15 @@ def rasterize(
 
     `y0`: global framebuffer row of this band's first row (screen-space
     sharding); `height`/`width` then describe the local band.
+
+    `layers=2` additionally tracks the second-nearest surface per pixel
+    (single-pass depth peeling) for alpha-test fallthrough.
     """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
     k = bins.tri_ids.shape[1]
 
-    tile_data = _gather_tile_tris(setup, bins.tri_ids)  # (num_tiles, K, 10)
+    tile_data = _gather_tile_tris(setup, bins.tri_ids)  # (num_tiles, K, 12)
     # Force materialization: without the barrier XLA may fuse this gather into
     # the scan body and re-execute it on every one of K steps (measured 10x+
     # slowdown on TPU for the full frame program).
@@ -149,25 +158,56 @@ def rasterize(
     zbuf0 = jnp.ones((num_tiles, tile_h, tile_w), jnp.float32)
     tid0 = jnp.full((num_tiles, tile_h, tile_w), -1, jnp.int32)
 
-    def step(carry, inputs):
-        zbuf, tid = carry
-        tri, ids = inputs  # (num_tiles, 10), (num_tiles,)
+    if layers == 1:
+
+        def step(carry, inputs):
+            zbuf, tid = carry
+            tri, ids = inputs  # (num_tiles, 12), (num_tiles,)
+            inside, z = coverage_and_depth(tri, px, py)
+            ok = ids[:, None, None] >= 0
+            m = inside & ok & (z >= 0.0) & (z <= 1.0) & (z < zbuf)
+            zbuf = jnp.where(m, z, zbuf)
+            tid = jnp.where(m, ids[:, None, None], tid)
+            return (zbuf, tid), None
+
+        (zbuf, tid), _ = jax.lax.scan(
+            step,
+            (zbuf0, tid0),
+            (tile_data.transpose(1, 0, 2), bins.tri_ids.T),
+            length=k,
+            unroll=min(unroll, k),
+        )
+        return VisibilityBuffer(
+            depth=untile(zbuf, height, width, tile_h, tile_w),
+            tri_id=untile(tid, height, width, tile_h, tile_w),
+        )
+
+    def step2(carry, inputs):
+        z0b, t0b, z1b, t1b = carry
+        tri, ids = inputs
         inside, z = coverage_and_depth(tri, px, py)
         ok = ids[:, None, None] >= 0
-        m = inside & ok & (z >= 0.0) & (z <= 1.0) & (z < zbuf)
-        zbuf = jnp.where(m, z, zbuf)
-        tid = jnp.where(m, ids[:, None, None], tid)
-        return (zbuf, tid), None
+        idb = ids[:, None, None]
+        hit = inside & ok & (z >= 0.0) & (z <= 1.0)
+        closer = hit & (z < z0b)
+        mid = hit & ~closer & (z < z1b)
+        # Demote the old nearest when a closer one arrives.
+        z1b = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
+        t1b = jnp.where(closer, t0b, jnp.where(mid, idb, t1b))
+        z0b = jnp.where(closer, z, z0b)
+        t0b = jnp.where(closer, idb, t0b)
+        return (z0b, t0b, z1b, t1b), None
 
-    (zbuf, tid), _ = jax.lax.scan(
-        step,
-        (zbuf0, tid0),
+    (z0b, t0b, z1b, t1b), _ = jax.lax.scan(
+        step2,
+        (zbuf0, tid0, zbuf0, tid0),
         (tile_data.transpose(1, 0, 2), bins.tri_ids.T),
         length=k,
         unroll=min(unroll, k),
     )
-
     return VisibilityBuffer(
-        depth=untile(zbuf, height, width, tile_h, tile_w),
-        tri_id=untile(tid, height, width, tile_h, tile_w),
+        depth=untile(z0b, height, width, tile_h, tile_w),
+        tri_id=untile(t0b, height, width, tile_h, tile_w),
+        depth2=untile(z1b, height, width, tile_h, tile_w),
+        tri_id2=untile(t1b, height, width, tile_h, tile_w),
     )

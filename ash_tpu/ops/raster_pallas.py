@@ -102,6 +102,65 @@ def _raster_kernel(
     jax.lax.fori_loop(0, count, loop, 0)
 
 
+def _raster_kernel2(
+    counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
+    data_ref,  # VMEM (1, K, 16)
+    z0_ref,
+    t0_ref,
+    z1_ref,
+    t1_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    y0: int,
+):
+    """Two-layer (depth-peeling) variant: nearest + second-nearest."""
+    tile = pl.program_id(0)
+    base_x = (tile % tiles_x) * tile_w
+    base_y = (tile // tiles_x) * tile_h + y0
+    px = (
+        base_x + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    ).astype(jnp.float32) + 0.5
+    py = (
+        base_y + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    ).astype(jnp.float32) + 0.5
+
+    ones = jnp.ones((tile_h, tile_w), jnp.float32)
+    neg = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    z0_ref[0] = ones
+    t0_ref[0] = neg
+    z1_ref[0] = ones
+    t1_ref[0] = neg
+
+    count = counts_ref[tile]
+
+    def loop(k, _):
+        row = data_ref[0, k]
+        lam0 = row[0] * px + row[1] * py + row[2]
+        lam1 = row[3] * px + row[4] * py + row[5]
+        lam2 = row[6] * px + row[7] * py + row[8]
+        s = lam0 + lam1 + lam2
+        z = lam0 * row[9] + lam1 * row[10] + lam2 * row[11]
+        tri = row[12].astype(jnp.int32)
+        thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
+        hit = (
+            (lam0 >= thr) & (lam1 >= thr) & (lam2 >= thr) & (s > 0.0)
+            & (tri >= 0) & (z >= 0.0) & (z <= 1.0)
+        )
+        z0b, t0b = z0_ref[0], t0_ref[0]
+        z1b, t1b = z1_ref[0], t1_ref[0]
+        closer = hit & (z < z0b)
+        mid = hit & ~closer & (z < z1b)
+        z1_ref[0] = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
+        t1_ref[0] = jnp.where(closer, t0b, jnp.where(mid, tri, t1b))
+        z0_ref[0] = jnp.where(closer, z, z0b)
+        t0_ref[0] = jnp.where(closer, tri, t0b)
+        return 0
+
+    jax.lax.fori_loop(0, count, loop, 0)
+
+
 def rasterize_pallas(
     setup: TriangleSetup,
     bins: TileBins,
@@ -111,16 +170,26 @@ def rasterize_pallas(
     tile_w: int,
     y0: int = 0,
     interpret: bool = False,
+    layers: int = 1,
 ) -> VisibilityBuffer:
-    """Pallas visibility-buffer rasterizer (TPU). See module docstring."""
+    """Pallas visibility-buffer rasterizer (TPU). See module docstring.
+
+    layers=2 keeps the two nearest surfaces per pixel (alpha-test support).
+    """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
     k = bins.tri_ids.shape[1]
 
     tile_data = _pack_tile_data(setup, bins.tri_ids)
 
+    n_out = 2 if layers == 1 else 4
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tx, y0=y0
+        _raster_kernel if layers == 1 else _raster_kernel2,
+        tile_h=tile_h, tile_w=tile_w, tiles_x=tx, y0=y0,
+    )
+    block = lambda: pl.BlockSpec(  # noqa: E731
+        (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -131,28 +200,28 @@ def rasterize_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=[block() for _ in range(n_out)],
     )
-    zbuf, tid = pl.pallas_call(
+    shapes = []
+    for i in range(n_out):
+        dtype = jnp.float32 if i % 2 == 0 else jnp.int32
+        shapes.append(
+            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), dtype)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, tile_h, tile_w), jnp.int32),
-        ],
+        out_shape=shapes,
         interpret=interpret,
     )(bins.counts, tile_data)
 
+    def u(x):
+        return untile(x, height, width, tile_h, tile_w)
+
+    if layers == 1:
+        zbuf, tid = outs
+        return VisibilityBuffer(depth=u(zbuf), tri_id=u(tid))
+    z0b, t0b, z1b, t1b = outs
     return VisibilityBuffer(
-        depth=untile(zbuf, height, width, tile_h, tile_w),
-        tri_id=untile(tid, height, width, tile_h, tile_w),
+        depth=u(z0b), tri_id=u(t0b), depth2=u(z1b), tri_id2=u(t1b)
     )

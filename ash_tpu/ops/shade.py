@@ -175,6 +175,63 @@ def interpolate_gbuffer(
     )
 
 
+def resolve_alpha_test(
+    vis,  # VisibilityBuffer with layers=2 (depth2/tri_id2 set)
+    setup: TriangleSetup,
+    tri_v: jnp.ndarray,
+    tri_draw: jnp.ndarray,
+    materials: jnp.ndarray,  # (D, 18)
+    vert_uv: jnp.ndarray,
+    pool,
+    cutoff_override: Optional[float] = None,
+    y0: int = 0,
+):
+    """Alpha-test (cutout) resolution over a two-layer visibility buffer.
+
+    Probes the NEAREST surface's base-color alpha at each pixel; where the
+    material's alpha_cutoff rejects it, the pixel falls through to the
+    second-nearest layer (depth-2 peeling approximation: a cut-out pixel of
+    the second layer would show background).
+
+    cutoff_override: use a fixed threshold for every textured material — the
+    shadow pass semantics (shadow.frag:17-23 discards alpha < 0.1).
+    Returns a single-layer VisibilityBuffer.
+    """
+    from .raster import VisibilityBuffer
+
+    tri_id = vis.tri_id
+    h, w = tri_id.shape
+    mask = tri_id >= 0
+    t = jnp.maximum(tri_id, 0)
+    vids = tri_v[t]
+    edge = setup.edge[t]
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
+    ).astype(jnp.float32) + 0.5
+    lam = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
+    s = jnp.sum(lam, axis=-1, keepdims=True)
+    pw = lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+    uv = _interp(pw, vert_uv[vids])
+
+    mat = materials[tri_draw[t]]
+    base_idx = mat[..., 12].astype(jnp.int32)
+    factor_a = mat[..., 3]
+    if cutoff_override is not None:
+        cutoff = jnp.where(base_idx >= 0, cutoff_override, 0.0)
+    else:
+        cutoff = mat[..., 17]
+    alpha = (
+        texture_sample.sample_trilinear(pool, base_idx, uv, None)[..., 3]
+        * factor_a
+    )
+    discard = mask & (cutoff > 0.0) & (alpha < cutoff)
+    return VisibilityBuffer(
+        depth=jnp.where(discard, vis.depth2, vis.depth),
+        tri_id=jnp.where(discard, vis.tri_id2, vis.tri_id),
+    )
+
+
 def _sample_map(pool, index, uv, ddx, ddy):
     """Trilinear sample with analytic LOD; index < 0 handled inside."""
     safe = jnp.maximum(index, 0)

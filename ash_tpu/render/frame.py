@@ -81,6 +81,10 @@ class FrameConfig:
     shadow_cascades: int = 1
     csm_blend_size: float = 0.0  # >0 enables cascade blending (CsmConfig)
     textured: bool = False
+    # Alpha-test (cutout) rendering: rasterize two depth layers and let
+    # cut-out pixels fall through (ops/shade.resolve_alpha_test). The shadow
+    # pass uses the reference's fixed 0.1 threshold (shadow.frag:17-23).
+    alpha_test: bool = False
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
     clear_color: tuple = (0.0, 0.0, 0.0)
@@ -193,6 +197,8 @@ def render_frame_program(
         s = cfg.shadow_resolution
         world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
 
+        alpha_shadow = cfg.alpha_test and cfg.textured and pool is not None
+
         def depth_only(light_matrix):
             clip_l = jnp.einsum(
                 "ij,vj->vi", light_matrix, world4,
@@ -206,9 +212,20 @@ def render_frame_program(
                 cfg.shadow_tile, cfg.shadow_tile,
                 cfg.shadow_max_tris_per_tile,
             )
-            return _raster(cfg)(
-                setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile
-            ).depth
+            vis_s = _raster(cfg)(
+                setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile,
+                layers=2 if alpha_shadow else 1,
+            )
+            if alpha_shadow:
+                # Foliage alpha discard in the shadow pass
+                # (shadow.frag:17-23: alpha < 0.1 casts no shadow).
+                from ..ops.shade import resolve_alpha_test
+
+                vis_s = resolve_alpha_test(
+                    vis_s, setup_s, scene.tri_v, scene.tri_draw,
+                    scene.materials, scene.uv, pool, cutoff_override=0.1,
+                )
+            return vis_s.depth
 
         if cfg.shadow_cascades > 1:
             shadow_map = jnp.stack(
@@ -251,7 +268,18 @@ def render_frame_program(
         setup.bbox, setup.valid, rh, rw,
         cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
     )
-    vis = _raster(cfg)(setup, bins, rh, rw, cfg.tile_h, cfg.tile_w)
+    alpha_main = cfg.alpha_test and cfg.textured and pool is not None
+    vis = _raster(cfg)(
+        setup, bins, rh, rw, cfg.tile_h, cfg.tile_w,
+        layers=2 if alpha_main else 1,
+    )
+    if alpha_main:
+        from ..ops.shade import resolve_alpha_test
+
+        vis = resolve_alpha_test(
+            vis, setup, scene.tri_v, scene.tri_draw, scene.materials,
+            scene.uv, pool,
+        )
 
     prev_clip = None
     if (

@@ -302,6 +302,7 @@ class Renderer:
             metallic_roughness_index=idx(mesh.metallic_roughness_texture_index),
             occlusion_index=idx(mesh.occlusion_texture_index),
             emissive_index=idx(mesh.emissive_texture_index),
+            alpha_cutoff=getattr(material, "alpha_cutoff", 0.0),
         )
 
     # ------------------------------------------------------------------
@@ -334,11 +335,17 @@ class Renderer:
         if self._single_mesh_key is None:
             return []
         mesh = self.mesh_registry[self._single_mesh_key]
+        # An untouched default material defers to the mesh's own GLTF
+        # factors (mesh.material_properties), so loaded models keep their
+        # authored look without an explicit set_material call.
+        material = self._material
+        if material == Material() and mesh.material_properties is not None:
+            material = mesh.material_properties.to_material(mesh.name)
         return [
             DrawItem(
                 mesh_key=self._single_mesh_key,
                 model=self.transform.model_matrix(),
-                material=self._material_uniform(self._material, mesh),
+                material=self._material_uniform(material, mesh),
             )
         ]
 
@@ -529,9 +536,13 @@ class Renderer:
                 lights[i] = gl.flat()
 
         pool = self.bindless.pool()
+        has_alpha_test = pool is not None and any(
+            it.material.alpha_cutoff > 0.0 for it in items
+        )
         config = dataclasses.replace(
             self._frame_config(textured=pool is not None),
             lights_enabled=lights is not None,
+            alpha_test=has_alpha_test,
         )
         frame_fn = self._compiled_frame(config)
         post = PostParams(
