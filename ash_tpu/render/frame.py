@@ -72,7 +72,7 @@ class FrameConfig:
     max_tris_per_tile: int = 256
     shadow_enabled: bool = True
     shadow_resolution: int = 2048
-    shadow_tile: int = 128
+    shadow_tile: int = 256
     shadow_max_tris_per_tile: int = 256
     # Cascaded shadow maps: 1 = the reference's wired single-map path;
     # 2-4 renders one depth map per cascade and shading selects by view

@@ -70,7 +70,7 @@ class RendererConfig:
     max_tris_per_tile: int = 256
     shadows_enabled: bool = True
     shadow_resolution: int = 2048
-    shadow_tile: int = 128
+    shadow_tile: int = 256
     shadow_max_tris_per_tile: int = 256
     # Cascaded shadow maps: pass a CsmConfig (render/csm.py) to render
     # cascade_count depth maps fitted to the view frustum instead of the
