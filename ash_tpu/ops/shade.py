@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from . import shadow as shadow_ops
 from . import texture_sample
-from .geometry import TransformedVerts, TriangleSetup, barycentrics, perspective_weights
+from .geometry import TransformedVerts, TriangleSetup
 
 PI = 3.14159265359
 
