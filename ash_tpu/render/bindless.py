@@ -66,5 +66,5 @@ class BindlessTextureManager:
             "textures": len(self._pyramids),
             "capacity": self.capacity,
             "texels": texels,
-            "bytes": texels * 16,  # float32 RGBA
+            "bytes": texels * 8,  # bfloat16 RGBA
         }

@@ -617,7 +617,7 @@ class Renderer:
                 total += buf.size * buf.dtype.itemsize
         pool = self.bindless.pool()
         if pool is not None:
-            total += pool.texels.size * 4
+            total += pool.texels.size * pool.texels.dtype.itemsize
         if self._taa_history is not None:
             total += int(np.prod(self._taa_history.shape)) * 4
         return total

@@ -103,10 +103,30 @@ def scene_full_frame():
     return surface
 
 
+def scene_textured():
+    """Textured cube (checkerboard albedo through the bindless pool)."""
+    from ash_tpu import TextureData
+
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+                       shadows_enabled=False, use_pallas=False),
+    )
+    mesh = Mesh.create_named_cube("TexturedCube")
+    mesh.texture_data = TextureData.checkerboard(size=64, cell=8)
+    r.set_mesh(mesh)
+    r.set_material(Material(color=(1.0, 0.9, 0.8, 1.0), roughness=0.6))
+    cam = Camera.new([2.6, 1.8, 3.4], [0, 0, 0], SIZE[0] / SIZE[1])
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
 SCENES = {
     "cube_pbr": scene_cube_pbr,
     "flat_cube": scene_flat_cube,
     "full_frame": scene_full_frame,
+    "textured": scene_textured,
 }
 
 
