@@ -1,20 +1,29 @@
 """High-level renderer: Renderer, surfaces, scene packing, frame programs."""
 
+from .csm import CascadedShadowMap, CsmConfig
 from .frame import FrameConfig, FrameOutputs, FrameUniforms
-from .renderer import RenderCommand, Renderer, RendererConfig
+from .renderer import MsaaPreset, RenderCommand, Renderer, RendererConfig
 from .scene import DrawItem, SceneBuffers, build_scene
+from .shadow_map import ShadowConfig
 from .surface import HeadlessSurface, SurfaceProvider
+from .temporal_aa import TaaConfig, TemporalAA
 
 __all__ = [
+    "CascadedShadowMap",
+    "CsmConfig",
     "FrameConfig",
     "FrameOutputs",
     "FrameUniforms",
+    "MsaaPreset",
     "RenderCommand",
     "Renderer",
     "RendererConfig",
     "DrawItem",
     "SceneBuffers",
     "build_scene",
+    "ShadowConfig",
     "HeadlessSurface",
     "SurfaceProvider",
+    "TaaConfig",
+    "TemporalAA",
 ]

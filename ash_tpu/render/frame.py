@@ -9,14 +9,17 @@ resize is just a different cache key (SURVEY §5.3's deferred-rebuild state
 machine collapses into re-specialization).
 
 Pass order inside the program (all fused/scheduled by XLA):
-  1. vertex stage               (ops/geometry.transform_vertices — MXU)
-  2. shadow raster, depth-only  (shared rasterizer, light matrix, cull FRONT
-                                 like the reference shadow pipeline,
-                                 renderer.rs:660)
-  3. main raster                (cull BACK, renderer.rs:599) -> visibility
-  4. G-buffer interpolation + PBR shade (ops/shade)
-  5. (post chain: bloom/tonemap/TAA — render/post.py, later stage)
-  6. pack to RGBA8
+  1. vertex stage                (ops/geometry.transform_vertices — MXU)
+  2. shadow raster, depth-only   (shared rasterizer, cull FRONT like the
+                                  reference shadow pipeline, renderer.rs:660;
+                                  1-4 CSM cascades; alpha-test discard)
+  3. GPU-driven culling          (frustum + prev-frame Hi-Z, ops/occlusion)
+  4. main raster                 (cull BACK, renderer.rs:599) -> visibility
+                                  buffer (2 layers when alpha-testing)
+  5. Forward+ light culling      (ops/light_cull over the depth buffer)
+  6. G-buffer interpolation + PBR shade (ops/shade; motion vectors for TAA)
+  7. post chain                  (TAA resolve -> bloom -> tonemap -> FXAA)
+  8. SSAA resolve + pack to RGBA8
 """
 
 from __future__ import annotations
