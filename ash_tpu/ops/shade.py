@@ -232,6 +232,43 @@ def resolve_alpha_test(
     )
 
 
+def pixel_alpha(
+    gbuf: GBuffer,
+    materials: jnp.ndarray,  # (D, 18)
+    pool=None,
+) -> jnp.ndarray:
+    """Per-pixel coverage alpha for blending/cutout composition.
+
+    alpha = baseTexture.a * base_color_factor.a (frag.frag:129), zeroed by
+    the material's alpha_cutoff (cutout) and by background. Opaque materials
+    (factor.a == 1, no cutoff) yield exactly 1 on covered pixels.
+    """
+    mat = materials[gbuf.draw_id]
+    factor_a = mat[..., 3]
+    base_idx = mat[..., 12].astype(jnp.int32)
+    cutoff = mat[..., 17]
+    if pool is not None:
+        tex_a = texture_sample.sample_trilinear(
+            pool, base_idx, gbuf.uv, None
+        )[..., 3]
+    else:
+        tex_a = jnp.ones_like(factor_a)
+    alpha = tex_a * factor_a
+    alpha = jnp.where((cutoff > 0.0) & (alpha < cutoff), 0.0, alpha)
+    return jnp.where(gbuf.mask, alpha, 0.0)
+
+
+def composite_over(
+    front_color: jnp.ndarray,  # (H, W, 3)
+    front_alpha: jnp.ndarray,  # (H, W)
+    back_color: jnp.ndarray,  # (H, W, 3) already composed over clear
+) -> jnp.ndarray:
+    """SRC_ALPHA / ONE_MINUS_SRC_ALPHA blend (the reference pipeline's
+    always-on blend state, pipeline.rs:167-174)."""
+    a = front_alpha[..., None]
+    return front_color * a + back_color * (1.0 - a)
+
+
 def _sample_map(pool, index, uv, ddx, ddy):
     """Trilinear sample with analytic LOD; index < 0 handled inside."""
     safe = jnp.maximum(index, 0)

@@ -88,6 +88,12 @@ class FrameConfig:
     # cut-out pixels fall through (ops/shade.resolve_alpha_test). The shadow
     # pass uses the reference's fixed 0.1 threshold (shadow.frag:17-23).
     alpha_test: bool = False
+    # Alpha BLENDING (semi-transparent materials, base_color_factor.a < 1):
+    # shade BOTH depth-peeled layers and composite with the reference's
+    # SRC_ALPHA blend (pipeline.rs:167-174). Two layers deep: one
+    # transparent surface over anything renders exactly; deeper stacks
+    # approximate. Subsumes alpha_test when both apply.
+    alpha_blend: bool = False
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
     clear_color: tuple = (0.0, 0.0, 0.0)
@@ -271,10 +277,13 @@ def render_frame_program(
         setup.bbox, setup.valid, rh, rw,
         cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
     )
-    alpha_main = cfg.alpha_test and cfg.textured and pool is not None
+    blend = cfg.alpha_blend and cfg.shading == "pbr"
+    alpha_main = (
+        cfg.alpha_test and cfg.textured and pool is not None and not blend
+    )
     vis = _raster(cfg)(
         setup, bins, rh, rw, cfg.tile_h, cfg.tile_w,
-        layers=2 if alpha_main else 1,
+        layers=2 if (alpha_main or blend) else 1,
     )
     if alpha_main:
         from ..ops.shade import resolve_alpha_test
@@ -316,11 +325,9 @@ def render_frame_program(
         )
         tile_light_indices = tl.indices[:, :, : cfg.shaded_lights_per_tile]
 
-    if cfg.shading == "flat":
-        color = shade_flat(gbuf, clear_color=cfg.clear_color)
-    else:
-        color = shade_pbr(
-            gbuf,
+    def run_shade(g):
+        return shade_pbr(
+            g,
             scene.materials,
             ShadeUniforms(
                 camera_pos=uni.camera_pos,
@@ -343,6 +350,30 @@ def render_frame_program(
             ),
             csm_blend_size=cfg.csm_blend_size,
         )
+
+    if cfg.shading == "flat":
+        color = shade_flat(gbuf, clear_color=cfg.clear_color)
+    else:
+        color = run_shade(gbuf)
+        if blend:
+            # Shade the second depth layer and composite front-over-back
+            # (ops/shade.composite_over; two-layer OIT approximation).
+            from ..ops.raster import VisibilityBuffer
+            from ..ops.shade import composite_over, pixel_alpha
+
+            gbuf1 = interpolate_gbuffer(
+                vis.tri_id2,
+                setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
+                scene.color,
+            )
+            color1 = run_shade(gbuf1)
+            tex_pool = pool if cfg.textured else None
+            a0 = pixel_alpha(gbuf, scene.materials, tex_pool)
+            a1 = pixel_alpha(gbuf1, scene.materials, tex_pool)
+            clear = jnp.asarray(cfg.clear_color, jnp.float32)
+            back = composite_over(color1, a1, jnp.broadcast_to(
+                clear, color1.shape))
+            color = composite_over(color, a0, back)
 
     depth = vis.depth
     velocity = gbuf.velocity

@@ -539,10 +539,18 @@ class Renderer:
         has_alpha_test = pool is not None and any(
             it.material.alpha_cutoff > 0.0 for it in items
         )
+        # Semi-transparent draws (base alpha < 1) switch on two-layer
+        # blending — the reference keeps SRC_ALPHA blending always on
+        # (pipeline.rs:167-174); we enable the (2x shading cost) path only
+        # when a transparent material exists.
+        has_blend = any(
+            float(it.material.base_color_factor[3]) < 1.0 for it in items
+        )
         config = dataclasses.replace(
             self._frame_config(textured=pool is not None),
             lights_enabled=lights is not None,
             alpha_test=has_alpha_test,
+            alpha_blend=has_blend,
         )
         frame_fn = self._compiled_frame(config)
         post = PostParams(
