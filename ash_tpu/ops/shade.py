@@ -269,19 +269,50 @@ def composite_over(
     return front_color * a + back_color * (1.0 - a)
 
 
-def _sample_map(pool, index, uv, ddx, ddy):
-    """Trilinear sample with analytic LOD; index < 0 handled inside."""
+def _sample_map(pool, index, uv, ddx, ddy, max_aniso: int = 1):
+    """Trilinear sample with analytic LOD; index < 0 handled inside.
+
+    max_aniso > 1 enables anisotropic filtering (the reference sampler's
+    16x anisotropy, texture.rs:313-327): N taps spread along the major
+    screen-footprint axis at the MINOR axis' sharper mip level, averaged —
+    the classic footprint-assembly approximation.
+    """
     safe = jnp.maximum(index, 0)
     base = pool.table[safe, 0]  # (..., 3): offset, w, h of mip 0
     tw = base[..., 1].astype(jnp.float32)
     th = base[..., 2].astype(jnp.float32)
     du = jnp.stack([ddx[..., 0] * tw, ddx[..., 1] * th], axis=-1)
     dv = jnp.stack([ddy[..., 0] * tw, ddy[..., 1] * th], axis=-1)
-    rho = jnp.maximum(
-        jnp.linalg.norm(du, axis=-1), jnp.linalg.norm(dv, axis=-1)
+    lu = jnp.linalg.norm(du, axis=-1)
+    lv = jnp.linalg.norm(dv, axis=-1)
+    rho_max = jnp.maximum(jnp.maximum(lu, lv), 1e-8)
+    if max_aniso <= 1:
+        lod = jnp.log2(rho_max)
+        return texture_sample.sample_trilinear(
+            pool, index, uv, jnp.maximum(lod, 0.0)
+        )
+
+    rho_min = jnp.maximum(jnp.minimum(lu, lv), 1e-8)
+    n_taps = jnp.clip(
+        jnp.ceil(rho_max / rho_min), 1.0, float(max_aniso)
     )
-    lod = jnp.log2(jnp.maximum(rho, 1e-8))
-    return texture_sample.sample_trilinear(pool, index, uv, jnp.maximum(lod, 0.0))
+    # Sharper mip chosen so n_taps x minor footprint covers the major axis.
+    lod = jnp.maximum(jnp.log2(rho_max / n_taps), 0.0)
+    major_uv = jnp.where(
+        (lu >= lv)[..., None], ddx, ddy
+    )  # major-axis step in UV space
+    acc = None
+    for i in range(max_aniso):
+        # Tap position along the major axis; taps beyond n_taps collapse
+        # onto the center (harmless duplicates, masked by the weighting).
+        frac = (i + 0.5) / n_taps - 0.5
+        frac = jnp.where(i < n_taps, frac, 0.0)
+        tap = texture_sample.sample_trilinear(
+            pool, index, uv + major_uv * frac[..., None], lod
+        )
+        weight = jnp.where(i < n_taps, 1.0, 0.0)[..., None]
+        acc = tap * weight if acc is None else acc + tap * weight
+    return acc / n_taps[..., None]
 
 
 def shade_pbr(
@@ -298,6 +329,7 @@ def shade_pbr(
     y0: int = 0,
     csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
     csm_blend_size: float = 0.0,
+    max_anisotropy: int = 1,  # reference sampler: 16x (texture.rs:313-327)
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -323,7 +355,8 @@ def shade_pbr(
 
     # Base color (frag.frag:124-129).
     if pool is not None:
-        base_sample = _sample_map(pool, base_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy)
+        base_sample = _sample_map(pool, base_idx, gbuf.uv, gbuf.uv_ddx,
+                                  gbuf.uv_ddy, max_anisotropy)
     else:
         base_sample = jnp.ones((*gbuf.mask.shape, 4), jnp.float32)
     base_color = base_sample[..., :3] * base_factor[..., :3]
@@ -343,7 +376,8 @@ def shade_pbr(
     normal = n
     if pool is not None:
         # Normal mapping (frag.frag:153-165).
-        map_sample = _sample_map(pool, normal_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy)[..., :3]
+        map_sample = _sample_map(pool, normal_idx, gbuf.uv, gbuf.uv_ddx,
+                                 gbuf.uv_ddy, max_anisotropy)[..., :3]
         valid_sample = jnp.linalg.norm(map_sample, axis=-1) > 1e-3
         mn = map_sample * 2.0 - 1.0
         mn = jnp.concatenate([mn[..., :2] * normal_scale[..., None], mn[..., 2:]], -1)
@@ -357,14 +391,16 @@ def shade_pbr(
     metallic = metallic_p
     roughness = jnp.maximum(roughness_p, 0.04)
     if pool is not None:
-        mr = _sample_map(pool, mr_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy)
+        mr = _sample_map(pool, mr_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
+                         max_anisotropy)
         metallic = jnp.where(mr_idx >= 0, metallic * mr[..., 2], metallic)
         roughness = jnp.where(mr_idx >= 0, jnp.maximum(roughness * mr[..., 1], 0.04), roughness)
 
     # Occlusion (frag.frag:179-183).
     occlusion = jnp.ones_like(metallic)
     if pool is not None:
-        occ = _sample_map(pool, occ_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy)[..., 0]
+        occ = _sample_map(pool, occ_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
+                          max_anisotropy)[..., 0]
         mixed = 1.0 + (occ - 1.0) * occlusion_strength
         occlusion = jnp.where(occ_idx >= 0, mixed, occlusion)
 
@@ -466,7 +502,8 @@ def shade_pbr(
 
     emissive = emissive_factor[..., :3]
     if pool is not None:
-        es = _sample_map(pool, emis_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy)[..., :3]
+        es = _sample_map(pool, emis_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
+                         max_anisotropy)[..., :3]
         emissive = jnp.where((emis_idx >= 0)[..., None], emissive * es, emissive)
 
     color = ambient + lo + emissive

@@ -84,6 +84,10 @@ class FrameConfig:
     shadow_cascades: int = 1
     csm_blend_size: float = 0.0  # >0 enables cascade blending (CsmConfig)
     textured: bool = False
+    # Anisotropic filtering taps (1 = trilinear only; the reference sampler
+    # requests 16x hardware anisotropy, texture.rs:313-327 — here each tap
+    # is a real trilinear fetch, so keep this modest).
+    max_anisotropy: int = 1
     # Alpha-test (cutout) rendering: rasterize two depth layers and let
     # cut-out pixels fall through (ops/shade.resolve_alpha_test). The shadow
     # pass uses the reference's fixed 0.1 threshold (shadow.frag:17-23).
@@ -349,6 +353,7 @@ def render_frame_program(
                 else None
             ),
             csm_blend_size=cfg.csm_blend_size,
+            max_anisotropy=cfg.max_anisotropy,
         )
 
     if cfg.shading == "flat":

@@ -92,6 +92,8 @@ class RendererConfig:
     # serialized vkPipelineCache, pipeline_cache.rs:45-53). Path to a cache
     # directory, or None.
     compilation_cache_dir: Optional[str] = None
+    # Anisotropic filtering taps (1 = trilinear; reference sampler: 16x).
+    max_anisotropy: int = 1
 
 
 @dataclasses.dataclass
@@ -379,6 +381,7 @@ class Renderer:
             shadow_tile=c.shadow_tile,
             shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,
             textured=textured,
+            max_anisotropy=c.max_anisotropy,
             shading=c.shading,
             clear_color=tuple(c.clear_color),
             post_enabled=self.hdr_enabled,
