@@ -330,6 +330,7 @@ def shade_pbr(
     csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
     csm_blend_size: float = 0.0,
     max_anisotropy: int = 1,  # reference sampler: 16x (texture.rs:313-327)
+    ibl=None,  # ops/ibl.EnvironmentIBL: replaces the flat ambient term
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -498,7 +499,16 @@ def shade_pbr(
             contrib = (kd_l * base_color / PI + spec_l) * lcolor * (nl * atten)[..., None]
             lo = lo + jnp.where((lid >= 0)[..., None], contrib, 0.0)
 
-    ambient = uniforms.ambient_color * base_color * occlusion[..., None]
+    if ibl is not None:
+        # Split-sum image-based ambient (ops/ibl.py), modulated by the same
+        # occlusion the flat ambient uses (frag.frag:216).
+        from .ibl import ambient_ibl
+
+        ambient = ambient_ibl(
+            ibl, normal, view_dir, base_color, metallic, roughness
+        ) * occlusion[..., None]
+    else:
+        ambient = uniforms.ambient_color * base_color * occlusion[..., None]
 
     emissive = emissive_factor[..., :3]
     if pool is not None:

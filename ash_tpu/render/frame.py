@@ -135,6 +135,9 @@ class FrameConfig:
     # Cap on the per-pixel shading loop (slots beyond this are dropped; the
     # culled list is ascending light id). Keeps the fragment loop bounded.
     shaded_lights_per_tile: int = 32
+    # Image-based lighting: when the renderer holds an environment bundle
+    # (ops/ibl.py), the split-sum IBL replaces the flat ambient term.
+    ibl_enabled: bool = False
 
 
 class PostParams(NamedTuple):
@@ -193,6 +196,7 @@ def render_frame_program(
     history: Optional[jnp.ndarray] = None,
     lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
     prev_depth: Optional[jnp.ndarray] = None,  # (H*ss, W*ss) last frame
+    ibl=None,  # ops/ibl.EnvironmentIBL
 ) -> FrameOutputs:
     """The pure frame function (trace-time `config`, runtime everything else)."""
     cfg = config
@@ -354,6 +358,7 @@ def render_frame_program(
             ),
             csm_blend_size=cfg.csm_blend_size,
             max_anisotropy=cfg.max_anisotropy,
+            ibl=ibl if cfg.ibl_enabled else None,
         )
 
     if cfg.shading == "flat":

@@ -179,6 +179,7 @@ class Renderer:
         self._taa_history = None
         self.occlusion_culling = False
         self._prev_depth = None
+        self._ibl = None
         # Motion-vector state (unjittered matrices of the previous frame).
         self._prev_view_proj: Optional[np.ndarray] = None
         self._prev_models: Optional[np.ndarray] = None
@@ -554,6 +555,7 @@ class Renderer:
             lights_enabled=lights is not None,
             alpha_test=has_alpha_test,
             alpha_blend=has_blend,
+            ibl_enabled=self._ibl is not None,
         )
         frame_fn = self._compiled_frame(config)
         post = PostParams(
@@ -568,6 +570,7 @@ class Renderer:
             self._taa_history if taa_params is not None else None,
             lights,
             self._prev_depth if self.occlusion_culling else None,
+            self._ibl,
         )
         if outputs.history is not None:
             self._taa_history = outputs.history
@@ -730,6 +733,21 @@ class Renderer:
 
     def set_fxaa_enabled(self, enabled: bool) -> None:
         self.fxaa_enabled = bool(enabled)
+
+    def set_environment_map(self, env, mips: int = 5) -> None:
+        """Enable image-based lighting from an equirectangular radiance map
+        ((H, W, 3) float array or TextureData). Replaces the flat ambient
+        term with split-sum IBL (ops/ibl.py, consuming the BRDF LUT the
+        reference shipped as groundwork, shaders/brdf_lut.frag)."""
+        from ..core.texture import TextureData
+        from ..ops.ibl import build_environment
+
+        if isinstance(env, TextureData):
+            env = env.to_linear_f32()[..., :3]
+        self._ibl = build_environment(np.asarray(env, np.float32), mips=mips)
+
+    def clear_environment_map(self) -> None:
+        self._ibl = None
 
     def set_occlusion_culling(self, enabled: bool) -> None:
         """Enable Hi-Z occlusion culling against last frame's depth."""
