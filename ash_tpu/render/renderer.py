@@ -595,6 +595,19 @@ class Renderer:
     def _update_diagnostics(self, items, frame_ms: float) -> None:
         """Refresh diagnostics state (reference update_diagnostics,
         renderer.rs:2242-2265)."""
+        # Surface binning overflow loudly: dropped triangles mean visible
+        # holes; the fix is a larger max_tris_per_tile or smaller tiles.
+        if self._last_outputs is not None and self.frame_count % 60 == 1:
+            overflow = int(self._last_outputs.binning_overflow)
+            if overflow > 0:
+                import logging
+
+                logging.getLogger("ash_tpu.renderer").warning(
+                    "binning overflow: worst tile exceeded max_tris_per_tile"
+                    " (%d) by %d — triangles were dropped; raise"
+                    " RendererConfig.max_tris_per_tile",
+                    self.config.max_tris_per_tile, overflow,
+                )
         self.frame_profiler.record(frame_ms)
         fs = self.diagnostics_state.frame_stats
         fs.fps = self.frame_profiler.fps
