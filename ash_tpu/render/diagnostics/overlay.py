@@ -15,11 +15,19 @@ a translucent black background, 8px margin.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 
 from .font_data import GLYPH_SIZE, glyph
+
+
+class TextVertex(NamedTuple):
+    """Overlay vertex (reference overlay_types.rs `TextVertex{pos,uv,color}`)."""
+
+    pos: Tuple[float, float]
+    uv: Tuple[float, float]
+    color: Tuple[float, float, float, float]
 
 
 @dataclasses.dataclass
@@ -47,15 +55,14 @@ def generate_quad_ndc(x: float, y: float, w: float, h: float,
     x1, y1 = pixel_to_ndc(x + w, y + h, width, height)
     u0, v0, u1, v1 = uv
     c = tuple(color)
-    quad = [
-        ((x0, y0), (u0, v0), c),
-        ((x1, y0), (u1, v0), c),
-        ((x1, y1), (u1, v1), c),
-        ((x0, y0), (u0, v0), c),
-        ((x1, y1), (u1, v1), c),
-        ((x0, y1), (u0, v1), c),
+    return [
+        TextVertex((x0, y0), (u0, v0), c),
+        TextVertex((x1, y0), (u1, v0), c),
+        TextVertex((x1, y1), (u1, v1), c),
+        TextVertex((x0, y0), (u0, v0), c),
+        TextVertex((x1, y1), (u1, v1), c),
+        TextVertex((x0, y1), (u0, v1), c),
     ]
-    return quad
 
 
 def render_text_patch(lines: List[str], config: OverlayConfig) -> np.ndarray:
