@@ -122,11 +122,50 @@ def scene_textured():
     return surface
 
 
+def scene_glass_and_lights():
+    """Transparent pane over a cube, plus point + spot lights (exercises
+    two-layer blending and the Forward+ shading loop)."""
+    from ash_tpu.core import maths
+
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=64,
+                       shadows_enabled=False, use_pallas=False),
+    )
+    r.register_mesh_handle(0, Mesh.create_cube())
+    r.register_mesh_handle(1, Mesh.create_plane("pane", size=2.0))
+    r.register_material_handle(1, Material(color=(0.85, 0.3, 0.2, 1.0),
+                                           roughness=0.4))
+    r.register_material_handle(2, Material(color=(0.4, 0.7, 1.0, 0.35),
+                                           roughness=0.1))
+    cube = np.eye(4, dtype=np.float32)
+    cube[:3, 3] = [0, 0, -1.5]
+    pane = (
+        maths.mat4_translation([0, 0, 1.2])
+        @ maths.mat4_from_quat(
+            maths.quat_from_axis_angle([1, 0, 0], np.pi / 2)
+        )
+    ).astype(np.float32)
+    r.submit_render_commands([
+        RenderCommand(mesh=0, transform=cube, material=1),
+        RenderCommand(mesh=1, transform=pane, material=2),
+    ])
+    r.add_point_light([2, 2, 2], color=(1, 0.9, 0.7), intensity=4, radius=12)
+    r.add_spot_light([-2, 2, 3], direction=[0.5, -0.5, -1],
+                     color=(0.4, 0.6, 1.0), intensity=6, radius=15,
+                     inner_cone_angle=0.3, outer_cone_angle=0.6)
+    cam = Camera.new([1.5, 1.2, 5.0], [0, 0, 0], SIZE[0] / SIZE[1])
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
 SCENES = {
     "cube_pbr": scene_cube_pbr,
     "flat_cube": scene_flat_cube,
     "full_frame": scene_full_frame,
     "textured": scene_textured,
+    "glass_and_lights": scene_glass_and_lights,
 }
 
 
