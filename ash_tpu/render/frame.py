@@ -172,6 +172,10 @@ class FrameOutputs(NamedTuple):
     binning_overflow: jnp.ndarray  # () int32
     history: Optional[jnp.ndarray]  # (H, W, 3) TAA history out (if enabled)
     visible_draws: Optional[jnp.ndarray]  # () int32 after GPU-driven culling
+    # Worst shadow-pass bin overflow (max across cascades); dropped shadow
+    # triangles manifest as light leaks, so they must be as loud as main-pass
+    # drops. None when shadows are disabled.
+    shadow_overflow: Optional[jnp.ndarray] = None  # () int32
 
 
 def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
@@ -210,6 +214,7 @@ def render_frame_program(
     )
 
     shadow_map = None
+    shadow_overflow = None
     if cfg.shadow_enabled:
         s = cfg.shadow_resolution
         world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
@@ -242,17 +247,19 @@ def render_frame_program(
                     vis_s, setup_s, scene.tri_v, scene.tri_draw,
                     scene.materials, scene.uv, pool, cutoff_override=0.1,
                 )
-            return vis_s.depth
+            return vis_s.depth, bins_s.overflow
 
         if cfg.shadow_cascades > 1:
-            shadow_map = jnp.stack(
-                [
-                    depth_only(uni.cascade_matrices[c])
-                    for c in range(cfg.shadow_cascades)
-                ]
-            )  # (C, S, S)
+            per_cascade = [
+                depth_only(uni.cascade_matrices[c])
+                for c in range(cfg.shadow_cascades)
+            ]
+            shadow_map = jnp.stack([d for d, _ in per_cascade])  # (C, S, S)
+            shadow_overflow = jnp.max(
+                jnp.stack([o for _, o in per_cascade])
+            )
         else:
-            shadow_map = depth_only(uni.light_space_matrix)
+            shadow_map, shadow_overflow = depth_only(uni.light_space_matrix)
 
     ss = max(int(cfg.ssaa_scale), 1)
     rw, rh = cfg.width * ss, cfg.height * ss
@@ -437,6 +444,7 @@ def render_frame_program(
         binning_overflow=bins.overflow,
         history=new_history,
         visible_draws=visible_draws,
+        shadow_overflow=shadow_overflow,
     )
 
 

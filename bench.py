@@ -89,19 +89,32 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--objects", type=int, default=1000)
     ap.add_argument("--save", type=str, default=None, help="save last frame PNG")
+    ap.add_argument(
+        "--guard", action="store_true",
+        help="exit 1 if fps falls below the committed budget "
+        "(PERF_BUDGET.json) — the round-1 regression guard",
+    )
+    ap.add_argument(
+        "--no-passes", action="store_true",
+        help="skip the per-pass ms table (it recompiles each stage)",
+    )
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: warm starts skip the ~12 s first jit.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.small:
         width, height, n_obj = 160, 120, 27
     else:
         width, height, n_obj = 1920, 1080, args.objects
-
-    import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -114,7 +127,8 @@ def main():
     t0 = time.perf_counter()
     out = r.render_frame(view, proj, cam.position)
     out.image.block_until_ready()
-    print(f"first frame (compile): {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"first frame (compile): {compile_s:.2f}s", file=sys.stderr)
     for _ in range(2):
         r.render_frame(view, proj, cam.position).image.block_until_ready()
 
@@ -126,11 +140,23 @@ def main():
     fps = 1.0 / dt
 
     covered = int(out.covered_pixels)
+    shadow_of = (
+        int(out.shadow_overflow) if out.shadow_overflow is not None else 0
+    )
     print(
         f"frame: {dt*1000:.2f} ms ({fps:.1f} fps), covered {covered} px, "
-        f"overflow {int(out.binning_overflow)}",
+        f"overflow main={int(out.binning_overflow)} shadow={shadow_of}",
         file=sys.stderr,
     )
+    if not args.no_passes:
+        # Per-pass device ms (BASELINE.json asks for per-pass ms). Runs
+        # AFTER the headline timing — each stage recompiles standalone.
+        try:
+            timings = r.profile_passes(view, proj, cam.position, n=3)
+            table = ", ".join(f"{k}={v:.2f}ms" for k, v in timings.items())
+            print(f"per-pass ms: {table}", file=sys.stderr)
+        except Exception as e:  # never let diagnostics sink the bench
+            print(f"per-pass profiling failed: {e}", file=sys.stderr)
     try:
         stats = jax.devices()[0].memory_stats() or {}
         in_use = stats.get("bytes_in_use", 0)
@@ -155,6 +181,22 @@ def main():
             }
         )
     )
+
+    if args.guard:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".", "PERF_BUDGET.json")
+        ) as f:
+            budget = json.load(f)
+        key = "min_fps_small" if args.small else "min_fps_1080p"
+        min_fps = budget[key]
+        if fps < min_fps:
+            print(
+                f"PERF GUARD FAILED: {fps:.1f} fps < budget {min_fps} fps "
+                f"({key}) — a frame-path commit regressed performance",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print(f"perf guard OK: {fps:.1f} >= {min_fps} fps", file=sys.stderr)
 
 
 if __name__ == "__main__":
