@@ -9,9 +9,15 @@ the reference's bindless indices, including -1 = "no texture -> white"
 (frag.frag:125-127).
 
 Sampling implements the reference sampler state (texture.rs:313-327): REPEAT
-addressing, bilinear min/mag, LINEAR mipmap (trilinear). Anisotropic filtering
-(16x in the reference) is not implemented — documented gap; it only sharpens
-grazing-angle minification.
+addressing, bilinear min/mag, LINEAR mipmap (trilinear). Anisotropic
+filtering (16x in the reference) is implemented in ops/shade.py
+(footprint-assembly multi-tap, see shade.py's anisotropic path) and enabled
+via FrameConfig.max_anisotropy. The DEFAULT is 1 (trilinear only) — a
+deliberate trade: on TPU every anisotropy tap is a full trilinear fetch
+(8 gathers), so 16x would multiply texture cost ~16x frame-wide, unlike the
+reference's fixed-function sampler where it is nearly free. Set
+RendererConfig.max_anisotropy=16 to match the reference sampler bit-for-bit
+at grazing angles.
 
 Each bilinear fetch is 4 dynamic gathers from the flat texel array; trilinear
 is 8. Gathers vectorize over all pixels at once.

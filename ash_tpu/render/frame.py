@@ -119,9 +119,12 @@ class FrameConfig:
     tonemap_operator: str = "aces"
     taa_enabled: bool = False
     fxaa_enabled: bool = False  # post-tonemap LDR pass (ops/fxaa.py)
-    # Supersampling factor (MSAA equivalent: ordered-grid SSAA + box resolve;
-    # reference msaa_targets.rs). 1 = off.
-    ssaa_scale: int = 1
+    # Supersampling factors (MSAA equivalent: ordered-grid SSAA + box
+    # resolve; reference msaa_targets.rs). Per-axis so sample counts match
+    # the advertised MSAA presets exactly: x2 = (2,1) -> 2 samples,
+    # x4 = (2,2) -> 4, x8 = (4,2) -> 8. (1,1) = off.
+    ssaa_x: int = 1
+    ssaa_y: int = 1
     # GPU-driven culling: per-draw frustum culling every frame; Hi-Z
     # occlusion against the PREVIOUS frame's depth pyramid (standard
     # two-phase temporal scheme — the reference's occlusion_cull.comp reads
@@ -261,8 +264,8 @@ def render_frame_program(
         else:
             shadow_map, shadow_overflow = depth_only(uni.light_space_matrix)
 
-    ss = max(int(cfg.ssaa_scale), 1)
-    rw, rh = cfg.width * ss, cfg.height * ss
+    sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
+    rw, rh = cfg.width * sx, cfg.height * sy
 
     # GPU-driven per-draw culling: mask whole draws' triangles out before
     # binning (the TPU form of the indirect-draw compaction in
@@ -277,9 +280,12 @@ def render_frame_program(
         pyr = None
         if cfg.occlusion_culling and prev_depth is not None:
             pyr = build_hiz(prev_depth)
+        # Note: prev_depth (and its Hi-Z pyramid) is the RESOLVED previous
+        # frame, so screen-space tests run at presentation resolution even
+        # when this frame supersamples.
         cull = occl.cull_objects(
             scene.draw_center, scene.draw_extents, uni.models,
-            scene.draw_enabled, uni.view_proj, pyr, rw, rh,
+            scene.draw_enabled, uni.view_proj, pyr, cfg.width, cfg.height,
         )
         visible = cull.visibility.astype(bool)
         tri_valid = tri_valid & visible[scene.tri_draw]
@@ -394,13 +400,13 @@ def render_frame_program(
 
     depth = vis.depth
     velocity = gbuf.velocity
-    if ss > 1:
+    if sx > 1 or sy > 1:
         # SSAA resolve: box-average color, min-reduce depth.
-        color = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean((1, 3))
-        depth = depth.reshape(cfg.height, ss, cfg.width, ss).min((1, 3))
+        color = color.reshape(cfg.height, sy, cfg.width, sx, 3).mean((1, 3))
+        depth = depth.reshape(cfg.height, sy, cfg.width, sx).min((1, 3))
         if velocity is not None:
             velocity = velocity.reshape(
-                cfg.height, ss, cfg.width, ss, 2
+                cfg.height, sy, cfg.width, sx, 2
             ).mean((1, 3))
 
     new_history = None

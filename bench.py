@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def build_bench_renderer(width, height, n_objects, shadow_resolution=2048):
+def build_bench_renderer(width, height, n_objects, shadow_resolution=2048,
+                         **cfg_overrides):
     from ash_tpu import Material, Mesh
     from ash_tpu.render import (
         HeadlessSurface,
@@ -30,7 +31,7 @@ def build_bench_renderer(width, height, n_objects, shadow_resolution=2048):
     )
 
     surface = HeadlessSurface(width, height)
-    cfg = RendererConfig(shadow_resolution=shadow_resolution)
+    cfg = RendererConfig(shadow_resolution=shadow_resolution, **cfg_overrides)
     if height < 512:  # small smoke config
         cfg = RendererConfig(
             tile_h=8, tile_w=32, max_tris_per_tile=64,
@@ -98,6 +99,9 @@ def main():
         "--no-passes", action="store_true",
         help="skip the per-pass ms table (it recompiles each stage)",
     )
+    ap.add_argument("--shadow-tile", type=int, default=None)
+    ap.add_argument("--shadow-cap", type=int, default=None,
+                    help="shadow_max_tris_per_tile override")
     args = ap.parse_args()
 
     import jax
@@ -118,8 +122,14 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    overrides = {}
+    if args.shadow_tile is not None:
+        overrides["shadow_tile"] = args.shadow_tile
+    if args.shadow_cap is not None:
+        overrides["shadow_max_tris_per_tile"] = args.shadow_cap
+
     t0 = time.perf_counter()
-    r, surface, cam = build_bench_renderer(width, height, n_obj)
+    r, surface, cam = build_bench_renderer(width, height, n_obj, **overrides)
     view, proj = cam.view_matrix(), cam.projection_matrix()
     print(f"scene build: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 

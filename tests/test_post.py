@@ -162,3 +162,30 @@ def test_msaa_ssaa_path():
     # background-black nor full face color).
     edge_vals = np.unique(img[..., 0])
     assert len(edge_vals) > 10
+
+
+def test_msaa_presets_honest_sample_counts():
+    """Preset names match actual sample counts (round-1 VERDICT weak #8)."""
+    from ash_tpu.render import MsaaPreset
+
+    counts = {k: sx * sy for k, (sx, sy) in MsaaPreset.SCALE.items()}
+    assert counts == {"off": 1, "x2": 2, "x4": 4, "x8": 8}
+
+
+def test_msaa_x2_anisotropic_path():
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    surface = HeadlessSurface(48, 48)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_msaa_preset("x2")  # 2x1 grid: rw=96, rh=48
+    cam = Camera.new([3, 2, 4], [0, 0, 0], 1.0)
+    out = r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    assert surface.read_back().shape == (48, 48, 4)
+    assert out.depth.shape == (48, 48)
