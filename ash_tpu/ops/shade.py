@@ -325,6 +325,7 @@ def shade_pbr(
     reinhard: bool = True,
     lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
     tile_light_indices: Optional[jnp.ndarray] = None,  # (ty, tx, K) int32
+    tile_light_counts: Optional[jnp.ndarray] = None,  # (ty, tx) int32
     light_tile_size: int = 16,
     y0: int = 0,
     csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
@@ -445,6 +446,12 @@ def shade_pbr(
     # never wired in the reference, light_culling_integration.rs:142-209).
     # The light model extends frag.frag's Cook-Torrance to positional lights
     # with radius-windowed inverse-square falloff.
+    #
+    # The slot loop is a lax.fori_loop whose trip count is the frame's
+    # ACTUAL worst-case per-tile light count (a traced value), so a 2-light
+    # scene pays 2 iterations while still supporting the reference's
+    # 256-lights-per-tile contract (light_culling.rs:17-23) — unlike a
+    # static Python unroll, whose cost and program size scale with the cap.
     if lights is not None and tile_light_indices is not None:
         hgt, wdt = gbuf.mask.shape
         py = (jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0) + y0)
@@ -452,7 +459,14 @@ def shade_pbr(
         t_y = jnp.clip(py // light_tile_size, 0, tile_light_indices.shape[0] - 1)
         t_x = jnp.clip(px // light_tile_size, 0, tile_light_indices.shape[1] - 1)
         k_slots = tile_light_indices.shape[-1]
-        for k in range(k_slots):
+        if tile_light_counts is not None:
+            n_iter = jnp.minimum(
+                jnp.max(tile_light_counts).astype(jnp.int32), k_slots
+            )
+        else:
+            n_iter = jnp.int32(k_slots)
+
+        def light_slot(k, lo_acc):
             lid = tile_light_indices[t_y, t_x, k]  # (H, W)
             row = lights[jnp.maximum(lid, 0)]  # (H, W, 16)
             lpos = row[..., 0:3]
@@ -497,7 +511,9 @@ def shade_pbr(
             spec_l = jnp.minimum(spec_l, 10.0 / jnp.maximum(f0, 0.04))
             kd_l = (1.0 - ff) * (1.0 - metallic[..., None])
             contrib = (kd_l * base_color / PI + spec_l) * lcolor * (nl * atten)[..., None]
-            lo = lo + jnp.where((lid >= 0)[..., None], contrib, 0.0)
+            return lo_acc + jnp.where((lid >= 0)[..., None], contrib, 0.0)
+
+        lo = jax.lax.fori_loop(0, n_iter, light_slot, lo)
 
     if ibl is not None:
         # Split-sum image-based ambient (ops/ibl.py), modulated by the same

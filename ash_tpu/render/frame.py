@@ -136,8 +136,10 @@ class FrameConfig:
     light_tile_size: int = 16  # reference TILE_SIZE, light_culling.rs:17-23
     max_lights_per_tile: int = 256  # reference MAX_LIGHTS_PER_TILE
     # Cap on the per-pixel shading loop (slots beyond this are dropped; the
-    # culled list is ascending light id). Keeps the fragment loop bounded.
-    shaded_lights_per_tile: int = 32
+    # culled list is ascending light id). The loop's runtime trip count is
+    # the frame's actual worst-case tile count, so the full 256-slot
+    # contract costs nothing on sparse scenes.
+    shaded_lights_per_tile: int = 256
     # Image-based lighting: when the renderer holds an environment bundle
     # (ops/ibl.py), the split-sum IBL replaces the flat ambient term.
     ibl_enabled: bool = False
@@ -336,6 +338,7 @@ def render_frame_program(
     )
 
     tile_light_indices = None
+    tile_light_counts = None
     if cfg.lights_enabled and lights is not None:
         from ..ops.light_cull import cull_lights
 
@@ -345,6 +348,9 @@ def render_frame_program(
             max_per_tile=cfg.max_lights_per_tile, tile=cfg.light_tile_size,
         )
         tile_light_indices = tl.indices[:, :, : cfg.shaded_lights_per_tile]
+        tile_light_counts = jnp.minimum(
+            tl.counts, cfg.shaded_lights_per_tile
+        )
 
     def run_shade(g):
         return shade_pbr(
@@ -363,6 +369,7 @@ def render_frame_program(
             reinhard=cfg.reinhard and not cfg.post_enabled,
             lights=lights if cfg.lights_enabled else None,
             tile_light_indices=tile_light_indices,
+            tile_light_counts=tile_light_counts,
             light_tile_size=cfg.light_tile_size,
             csm=(
                 (uni.cascade_matrices, uni.cascade_splits, uni.view)

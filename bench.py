@@ -102,6 +102,8 @@ def main():
     ap.add_argument("--shadow-tile", type=int, default=None)
     ap.add_argument("--shadow-cap", type=int, default=None,
                     help="shadow_max_tris_per_tile override")
+    ap.add_argument("--lights", type=int, default=0,
+                    help="add N Forward+ point lights to the scene")
     args = ap.parse_args()
 
     import jax
@@ -130,6 +132,13 @@ def main():
 
     t0 = time.perf_counter()
     r, surface, cam = build_bench_renderer(width, height, n_obj, **overrides)
+    if args.lights:
+        rng = np.random.default_rng(11)
+        for _ in range(args.lights):
+            r.add_point_light(
+                (rng.random(3) * 20 - 10).tolist(),
+                color=rng.random(3).tolist(), intensity=2.0, radius=6.0,
+            )
     view, proj = cam.view_matrix(), cam.projection_matrix()
     print(f"scene build: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 

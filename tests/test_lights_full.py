@@ -102,3 +102,34 @@ def test_e2e_spot_light():
     corner_gain = lit[12, 12, 0] - base[12, 12, 0]
     center_gain = lit[c, c, 0] - base[c, c, 0]
     assert center_gain > corner_gain * 2
+
+
+def test_beyond_32_lights_per_tile_all_contribute():
+    """The shading loop honors the 256-lights-per-tile contract
+    (light_culling.rs:17-23); round 1 silently dropped slots beyond 32."""
+    from ash_tpu import Material, Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    def brightness(n_lights):
+        surface = HeadlessSurface(64, 64)
+        r = Renderer(
+            surface,
+            RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                           shadows_enabled=False),
+        )
+        r.set_mesh(Mesh.create_cube())
+        r.set_material(Material(color=(0.05, 0.05, 0.05, 1.0)))
+        cam = Camera.new([0, 0, 5], [0, 0, 0], 1.0)
+        for _ in range(n_lights):
+            # All lights land in every covered tile.
+            r.add_point_light([0, 0, 3.0], color=(1, 1, 1),
+                              intensity=0.05, radius=20.0)
+        out = r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                             cam.position)
+        return float(np.asarray(out.color)[32, 32].sum())
+
+    b32, b48 = brightness(32), brightness(48)
+    # 48 identical lights must be measurably brighter than 32 (pre-fix both
+    # rendered identically because slots 33+ were dropped).
+    assert b48 > b32 * 1.2, (b32, b48)
