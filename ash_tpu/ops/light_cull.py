@@ -62,11 +62,18 @@ def tile_frustum_planes(
     dmin: jnp.ndarray,  # (ty, tx)
     dmax: jnp.ndarray,  # (ty, tx)
     tile: int = TILE_SIZE,
+    tile_y0=0,  # global tile-row offset of this band (may be traced)
 ) -> jnp.ndarray:
-    """(ty, tx, 6, 4) view-space planes (comp:71-98)."""
+    """(ty, tx, 6, 4) view-space planes (comp:71-98).
+
+    `width`/`height` are the FULL framebuffer dimensions (the NDC mapping);
+    the (ty, tx) grid may cover only a band of tile rows starting at global
+    tile row `tile_y0` (screen-space sharding)."""
     ty, tx = dmin.shape
     tix = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 1)
-    tiy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0)
+    tiy = jax.lax.broadcasted_iota(jnp.float32, (ty, tx), 0) + jnp.asarray(
+        tile_y0, jnp.float32
+    )
     min_ndc_x = (tix * tile) / width * 2.0 - 1.0
     min_ndc_y = (tiy * tile) / height * 2.0 - 1.0
     max_ndc_x = ((tix + 1) * tile) / width * 2.0 - 1.0
@@ -120,15 +127,18 @@ def cull_lights(
     lights: jnp.ndarray,  # (L, 16) packed GpuLight rows
     view: jnp.ndarray,  # (4, 4)
     inv_projection: jnp.ndarray,  # (4, 4)
-    depth: jnp.ndarray,  # (H, W)
+    depth: jnp.ndarray,  # (H, W) — may be a band of the framebuffer
     width: int,
     height: int,
     max_per_tile: int = MAX_LIGHTS_PER_TILE,
     tile: int = TILE_SIZE,
+    tile_y0=0,  # global tile-row offset of the band (0 = full frame)
 ) -> TileLights:
     """Full Forward+ culling pass -> per-tile light lists."""
     dmin, dmax = tile_depth_bounds(depth, tile)
-    planes = tile_frustum_planes(inv_projection, width, height, dmin, dmax, tile)
+    planes = tile_frustum_planes(
+        inv_projection, width, height, dmin, dmax, tile, tile_y0=tile_y0
+    )
 
     pos_world = lights[:, 0:3]
     radius = lights[:, 3]

@@ -13,9 +13,13 @@ the hardware:
   depth interpolation over the (TILE_H, TILE_W) pixel block, then a masked
   select into the VMEM visibility buffer.
 
-Tile data layout: (num_tiles, K, 16) float32 — x0 y0 x1 y1 x2 y2 z0 z1 z2
-area2 tri_id(bitcast) [pad] — gathered by XLA before the kernel (a dense
-gather XLA does well; the kernel then streams it tile-block by tile-block).
+Tile data layout: (num_tiles, K/8, 128) float32 — EIGHT 16-float records per
+128-lane row, so the array is exactly lane-aligned. (A (K, 16) layout gets
+padded 16 -> 128 lanes by the TPU's T(8,128) tiling: 8x HBM expansion, which
+OOMed large-K configs.) Each record: x0 y0 x1 y1 x2 y2 z0 z1 z2 (the 3x3
+homogeneous edge matrix) + clip z (3) + tri_id-as-f32 (1) + pad. The kernel
+loop consumes one row (8 records, static lane offsets) per iteration —
+8x fewer loop iterations as a bonus.
 """
 
 from __future__ import annotations
@@ -31,80 +35,109 @@ from .binning import TileBins, grid_shape
 from .geometry import TriangleSetup
 from .raster import VisibilityBuffer, untile
 
-_ROW = 16  # padded per-triangle record width (lane-friendly)
+_ROW = 16  # per-triangle record width (8 records = one 128-lane row)
+_PACK = 8  # records per lane row
 
 
-def _pack_tile_data(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
-    """(num_tiles, K, 16) packed per-slot records: homogeneous edge matrix
-    (9) + clip z (3) + triangle id (1) + pad. Empty slots get tri_id -1."""
+def _pack_tile_data(
+    setup: TriangleSetup, tri_ids: jnp.ndarray, y0=0
+) -> jnp.ndarray:
+    """(num_tiles, K/8, 128) packed records (see module docstring). Empty
+    slots carry tri_id -1.
+
+    `y0` (static or TRACED — e.g. a shard_map axis_index-derived band
+    offset) is folded into the edge constants so the kernel always works in
+    band-local pixel rows: lam(x, y_local + y0) = a*x + b*y_local + (c +
+    b*y0). Exact (affine translation), and it keeps the Pallas kernel free
+    of runtime scalars."""
     ids = jnp.maximum(tri_ids, 0)
-    edge = setup.edge[ids].reshape(*ids.shape, 9)
+    edge = setup.edge[ids]  # (num_tiles, K, 3, 3)
+    y0f = jnp.asarray(y0, jnp.float32)
+    edge = edge.at[..., 2].add(edge[..., 1] * y0f)
+    edge = edge.reshape(*ids.shape, 9)
     zc = setup.z_clip[ids]
     # Triangle ids ride as float32 (exact for ids < 2^24; binning caps T well
     # below that) — scalar bitcasts are not supported by Mosaic.
     fid = tri_ids.astype(jnp.float32)[..., None]
     pad = jnp.zeros((*ids.shape, _ROW - 13), jnp.float32)
-    return jnp.concatenate([edge, zc, fid, pad], axis=-1)
+    flat = jnp.concatenate([edge, zc, fid, pad], axis=-1)  # (tiles, K, 16)
+    nt, k = ids.shape
+    return flat.reshape(nt, k // _PACK, _PACK * _ROW)
 
 
-def _raster_kernel(
-    counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
-    data_ref,  # VMEM (1, K, 16)
-    z_ref,  # VMEM (1, TH, TW) out
-    tid_ref,  # VMEM (1, TH, TW) out int32
-    *,
-    tile_h: int,
-    tile_w: int,
-    tiles_x: int,
-    y0: int,
-):
+def _eval_record(block, j, px, py):
+    """Coverage + depth of record j (static) of a 128-float row `block`.
+
+    Returns (mask_hit, z, tri_id) over the (TH, TW) pixel block."""
+    c = lambda i: block[j * _ROW + i]  # noqa: E731 static lane extract
+    lam0 = c(0) * px + c(1) * py + c(2)
+    lam1 = c(3) * px + c(4) * py + c(5)
+    lam2 = c(6) * px + c(7) * py + c(8)
+    s = lam0 + lam1 + lam2
+    z = lam0 * c(9) + lam1 * c(10) + lam2 * c(11)
+    tri = c(12).astype(jnp.int32)
+    # eps tolerance closes shared-edge seams (see ops/raster.py).
+    thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
+    hit = (
+        (lam0 >= thr)
+        & (lam1 >= thr)
+        & (lam2 >= thr)
+        & (s > 0.0)
+        & (tri >= 0)
+        & (z >= 0.0)
+        & (z <= 1.0)
+    )
+    return hit, z, tri
+
+
+def _pixel_grid(tile_h, tile_w, tiles_x):
     tile = pl.program_id(0)
     base_x = (tile % tiles_x) * tile_w
-    base_y = (tile // tiles_x) * tile_h + y0
+    base_y = (tile // tiles_x) * tile_h
     px = (
         base_x + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
     ).astype(jnp.float32) + 0.5
     py = (
         base_y + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
     ).astype(jnp.float32) + 0.5
+    return tile, px, py
+
+
+def _raster_kernel(
+    counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
+    data_ref,  # VMEM (1, K/8, 128)
+    z_ref,  # VMEM (1, TH, TW) out
+    tid_ref,  # VMEM (1, TH, TW) out int32
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+):
+    tile, px, py = _pixel_grid(tile_h, tile_w, tiles_x)
 
     z_ref[0] = jnp.ones((tile_h, tile_w), jnp.float32)
     tid_ref[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
     count = counts_ref[tile]
 
-    def loop(k, _):
-        row = data_ref[0, k]
-        # Clipless homogeneous coverage (see geometry.TriangleSetup).
-        lam0 = row[0] * px + row[1] * py + row[2]
-        lam1 = row[3] * px + row[4] * py + row[5]
-        lam2 = row[6] * px + row[7] * py + row[8]
-        s = lam0 + lam1 + lam2
-        z = lam0 * row[9] + lam1 * row[10] + lam2 * row[11]
-        tri = row[12].astype(jnp.int32)
-        zbuf = z_ref[0]
-        # eps tolerance closes shared-edge seams (see ops/raster.py).
-        thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
-        m = (
-            (lam0 >= thr)
-            & (lam1 >= thr)
-            & (lam2 >= thr)
-            & (s > 0.0)
-            & (tri >= 0)
-            & (z >= 0.0)
-            & (z <= 1.0)
-            & (z < zbuf)
-        )
-        z_ref[0] = jnp.where(m, z, zbuf)
-        tid_ref[0] = jnp.where(m, tri, tid_ref[0])
+    def loop(i, _):
+        block = data_ref[0, i]  # (128,) = 8 records
+        zbuf, tid = z_ref[0], tid_ref[0]
+        for j in range(_PACK):
+            hit, z, tri = _eval_record(block, j, px, py)
+            m = hit & (z < zbuf)
+            zbuf = jnp.where(m, z, zbuf)
+            tid = jnp.where(m, tri, tid)
+        z_ref[0] = zbuf
+        tid_ref[0] = tid
         return 0
 
-    jax.lax.fori_loop(0, count, loop, 0)
+    jax.lax.fori_loop(0, (count + _PACK - 1) // _PACK, loop, 0)
 
 
 def _raster_kernel2(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
-    data_ref,  # VMEM (1, K, 16)
+    data_ref,  # VMEM (1, K/8, 128)
     z0_ref,
     t0_ref,
     z1_ref,
@@ -113,18 +146,9 @@ def _raster_kernel2(
     tile_h: int,
     tile_w: int,
     tiles_x: int,
-    y0: int,
 ):
     """Two-layer (depth-peeling) variant: nearest + second-nearest."""
-    tile = pl.program_id(0)
-    base_x = (tile % tiles_x) * tile_w
-    base_y = (tile // tiles_x) * tile_h + y0
-    px = (
-        base_x + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    ).astype(jnp.float32) + 0.5
-    py = (
-        base_y + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    ).astype(jnp.float32) + 0.5
+    tile, px, py = _pixel_grid(tile_h, tile_w, tiles_x)
 
     ones = jnp.ones((tile_h, tile_w), jnp.float32)
     neg = jnp.full((tile_h, tile_w), -1, jnp.int32)
@@ -135,30 +159,24 @@ def _raster_kernel2(
 
     count = counts_ref[tile]
 
-    def loop(k, _):
-        row = data_ref[0, k]
-        lam0 = row[0] * px + row[1] * py + row[2]
-        lam1 = row[3] * px + row[4] * py + row[5]
-        lam2 = row[6] * px + row[7] * py + row[8]
-        s = lam0 + lam1 + lam2
-        z = lam0 * row[9] + lam1 * row[10] + lam2 * row[11]
-        tri = row[12].astype(jnp.int32)
-        thr = -1e-6 * (jnp.abs(lam0) + jnp.abs(lam1) + jnp.abs(lam2))
-        hit = (
-            (lam0 >= thr) & (lam1 >= thr) & (lam2 >= thr) & (s > 0.0)
-            & (tri >= 0) & (z >= 0.0) & (z <= 1.0)
-        )
+    def loop(i, _):
+        block = data_ref[0, i]
         z0b, t0b = z0_ref[0], t0_ref[0]
         z1b, t1b = z1_ref[0], t1_ref[0]
-        closer = hit & (z < z0b)
-        mid = hit & ~closer & (z < z1b)
-        z1_ref[0] = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
-        t1_ref[0] = jnp.where(closer, t0b, jnp.where(mid, tri, t1b))
-        z0_ref[0] = jnp.where(closer, z, z0b)
-        t0_ref[0] = jnp.where(closer, tri, t0b)
+        for j in range(_PACK):
+            hit, z, tri = _eval_record(block, j, px, py)
+            closer = hit & (z < z0b)
+            mid = hit & ~closer & (z < z1b)
+            # Demote the old nearest when a closer one arrives.
+            z1b = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
+            t1b = jnp.where(closer, t0b, jnp.where(mid, tri, t1b))
+            z0b = jnp.where(closer, z, z0b)
+            t0b = jnp.where(closer, tri, t0b)
+        z0_ref[0], t0_ref[0] = z0b, t0b
+        z1_ref[0], t1_ref[0] = z1b, t1b
         return 0
 
-    jax.lax.fori_loop(0, count, loop, 0)
+    jax.lax.fori_loop(0, (count + _PACK - 1) // _PACK, loop, 0)
 
 
 def rasterize_pallas(
@@ -168,24 +186,33 @@ def rasterize_pallas(
     width: int,
     tile_h: int,
     tile_w: int,
-    y0: int = 0,
+    y0=0,
     interpret: bool = False,
     layers: int = 1,
 ) -> VisibilityBuffer:
     """Pallas visibility-buffer rasterizer (TPU). See module docstring.
 
     layers=2 keeps the two nearest surfaces per pixel (alpha-test support).
+    `y0` may be traced (band offset under shard_map) — it is folded into the
+    packed edge constants, not the kernel.
     """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
     k = bins.tri_ids.shape[1]
+    if k % _PACK:
+        pad = _PACK - k % _PACK
+        bins = bins._replace(
+            tri_ids=jnp.pad(bins.tri_ids, ((0, 0), (0, pad)),
+                            constant_values=-1)
+        )
+        k += pad
 
-    tile_data = _pack_tile_data(setup, bins.tri_ids)
+    tile_data = _pack_tile_data(setup, bins.tri_ids, y0)
 
     n_out = 2 if layers == 1 else 4
     kernel = functools.partial(
         _raster_kernel if layers == 1 else _raster_kernel2,
-        tile_h=tile_h, tile_w=tile_w, tiles_x=tx, y0=y0,
+        tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
     )
     block = lambda: pl.BlockSpec(  # noqa: E731
         (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
@@ -196,7 +223,7 @@ def rasterize_pallas(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, k, _ROW), lambda i, counts: (i, 0, 0),
+                (1, k // _PACK, _PACK * _ROW), lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

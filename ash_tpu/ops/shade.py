@@ -109,8 +109,12 @@ def interpolate_gbuffer(
     vert_color: jnp.ndarray,  # (V, 3)
     y0=0,  # global framebuffer row of this band (screen-space sharding)
     prev_clip: Optional[jnp.ndarray] = None,  # (V, 4) last frame's clip pos
+    fb_height: Optional[int] = None,  # FULL framebuffer dims for the
+    fb_width: Optional[int] = None,  # velocity uv normalization (bands)
 ) -> GBuffer:
     h, w = tri_id.shape
+    fb_h = fb_height if fb_height is not None else h
+    fb_w = fb_width if fb_width is not None else w
     mask = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
     vids = tri_v[t]  # (H, W, 3)
@@ -155,7 +159,7 @@ def interpolate_gbuffer(
         pc = _interp(pw, prev_clip[vids])  # (H, W, 4)
         pw_w = jnp.where(jnp.abs(pc[..., 3]) < 1e-6, 1e-6, pc[..., 3])
         prev_uv = pc[..., :2] / pw_w[..., None] * 0.5 + 0.5
-        cur_uv = jnp.stack([px / w, py / h], axis=-1)
+        cur_uv = jnp.stack([px / fb_w, py / fb_h], axis=-1)
         velocity = jnp.where(
             (mask & (pc[..., 3] > 0.0))[..., None], cur_uv - prev_uv, 0.0
         )
@@ -327,7 +331,6 @@ def shade_pbr(
     tile_light_indices: Optional[jnp.ndarray] = None,  # (ty, tx, K) int32
     tile_light_counts: Optional[jnp.ndarray] = None,  # (ty, tx) int32
     light_tile_size: int = 16,
-    y0: int = 0,
     csm: Optional[tuple] = None,  # (matrices (C,4,4), splits (4,), view (4,4))
     csm_blend_size: float = 0.0,
     max_anisotropy: int = 1,  # reference sampler: 16x (texture.rs:313-327)
@@ -452,9 +455,11 @@ def shade_pbr(
     # scene pays 2 iterations while still supporting the reference's
     # 256-lights-per-tile contract (light_culling.rs:17-23) — unlike a
     # static Python unroll, whose cost and program size scale with the cap.
+    # The tile arrays cover the SAME band of rows as the gbuffer (band-local
+    # indexing), so screen-space sharding needs no offset here.
     if lights is not None and tile_light_indices is not None:
         hgt, wdt = gbuf.mask.shape
-        py = (jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0) + y0)
+        py = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0)
         px = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 1)
         t_y = jnp.clip(py // light_tile_size, 0, tile_light_indices.shape[0] - 1)
         t_x = jnp.clip(px // light_tile_size, 0, tile_light_indices.shape[1] - 1)

@@ -22,6 +22,7 @@ class ShadowFeature(RenderFeature):
         self.light_direction = d / np.linalg.norm(d)
         self.scene_center = np.zeros(3, np.float32)
         self.scene_radius = 20.0
+        self._bounds_explicit = False
 
     @property
     def config(self) -> ShadowConfig:
@@ -34,6 +35,17 @@ class ShadowFeature(RenderFeature):
     def set_scene_bounds(self, center, radius: float) -> None:
         self.scene_center = np.asarray(center, np.float32)
         self.scene_radius = float(radius)
+        self._bounds_explicit = True
+
+    def auto_fit_bounds(self, center, radius: float) -> None:
+        """Fit the light volume to the built scene unless the app pinned
+        bounds via set_scene_bounds. The reference keeps a fixed r=20 volume
+        (shadows.rs:23-31); auto-fitting instead keeps shadow-map texel
+        density matched to the scene (a tiny mesh inside a huge volume
+        lands every triangle in a few shadow tiles)."""
+        if not self._bounds_explicit:
+            self.scene_center = np.asarray(center, np.float32)
+            self.scene_radius = max(float(radius), 1e-3)
 
     def light_space_matrix(self) -> np.ndarray:
         return self.shadow_map.light_space_matrix

@@ -75,7 +75,13 @@ class FrameConfig:
     max_tris_per_tile: int = 256
     shadow_enabled: bool = True
     shadow_resolution: int = 2048
+    # Shadow raster tile: shadow_tile is the WIDTH (lane dimension);
+    # shadow_tile_h the row count (None = min(shadow_tile, 32)). Rectangular
+    # rows x 128-lane tiles keep the per-candidate raster cost low — square
+    # 128x128 tiles re-test 16k pixels per candidate triangle, which made
+    # the shadow pass ~1000x the main pass on dense meshes.
     shadow_tile: int = 256
+    shadow_tile_h: Optional[int] = None
     shadow_max_tris_per_tile: int = 256
     # Cascaded shadow maps: 1 = the reference's wired single-map path;
     # 2-4 renders one depth map per cascade and shading selects by view
@@ -108,6 +114,13 @@ class FrameConfig:
     # Rasterizer backend: the Pallas kernel (ops/raster_pallas.py) on TPU,
     # the jnp scan oracle elsewhere.
     use_pallas: bool = False
+    # Binning strategy: None = auto (two-level coarse->fine when the scene's
+    # padded triangle count exceeds 32768 — the dense (tiles x T) matrix
+    # cliffs there); True/False force it. See ops/binning.py.
+    two_level_binning: Optional[bool] = None
+    # Per-coarse-tile candidate cap for the two-level binner (drops beyond
+    # it are reported via overflow like fine-tile drops).
+    binning_coarse_cap: int = 16384
     # HDR post chain (the reference's designed-but-unwired full frame:
     # SURVEY §3.2 "capability present, wiring absent" — wired here).
     # When enabled the main pass outputs linear HDR (reinhard is skipped),
@@ -195,20 +208,101 @@ def _raster(cfg: "FrameConfig"):
     return rasterize_pallas if cfg.use_pallas else raster.rasterize
 
 
-def render_frame_program(
+def _binner(cfg: "FrameConfig", num_tris: int):
+    """Dense or two-level binning (static choice per scene bucket)."""
+    use_two = (
+        cfg.two_level_binning
+        if cfg.two_level_binning is not None
+        else num_tris > 32768
+    )
+    if not use_two:
+        return binning.bin_triangles
+    return functools.partial(
+        binning.bin_triangles_two_level, coarse_cap=cfg.binning_coarse_cap
+    )
+
+
+class BandSpec(NamedTuple):
+    """Screen-space sharding context: run the band pipeline inside a
+    shard_map over `n` devices along mesh axis `axis` (parallel/sharded.py).
+    None = single device, full frame."""
+
+    axis: str
+    n: int
+
+
+class BandOutputs(NamedTuple):
+    """Everything the raster+shade stage produces for (a band of) the frame.
+
+    In band mode, color/depth/velocity cover this device's rows while
+    shadow_map and the scalars are already globalized (all_gather / psum /
+    pmax), so `finalize_frame` sees the same thing either way."""
+
+    color: jnp.ndarray  # (Hb, W, 3) resolved linear HDR (or Reinhard LDR)
+    depth: jnp.ndarray  # (Hb, W)
+    velocity: Optional[jnp.ndarray]  # (Hb, W, 2) or None
+    shadow_map: Optional[jnp.ndarray]  # (S, S) / (C, S, S) or None
+    covered: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () int32
+    shadow_overflow: Optional[jnp.ndarray]  # () int32 or None
+    visible_draws: Optional[jnp.ndarray]  # () int32 or None
+
+
+def _band_unit(cfg: "FrameConfig") -> int:
+    """Smallest presentation-row granularity a band may start at: the band's
+    RENDER rows (u * ssaa_y) must align to raster tiles and (when Forward+
+    is on) to light-culling tiles, so per-band tile grids are disjoint."""
+    import math
+
+    sy = max(int(cfg.ssaa_y), 1)
+    need = cfg.tile_h
+    if cfg.lights_enabled:
+        need = need * cfg.light_tile_size // math.gcd(
+            need, cfg.light_tile_size
+        )
+    return need // math.gcd(need, sy)
+
+
+def band_rows(cfg: "FrameConfig", n: int) -> int:
+    """Presentation rows per device band (height padded up to divide)."""
+    u = _band_unit(cfg)
+    per = -(-cfg.height // (n * u)) * u
+    return per
+
+
+def render_band(
     config: FrameConfig,
     scene: SceneBuffers,
     uni: FrameUniforms,
-    pool: Optional[TexturePool],
-    post: Optional[PostParams] = None,
-    taa_params: Optional[TaaParams] = None,
-    history: Optional[jnp.ndarray] = None,
+    pool: Optional[TexturePool] = None,
     lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
-    prev_depth: Optional[jnp.ndarray] = None,  # (H*ss, W*ss) last frame
+    prev_depth: Optional[jnp.ndarray] = None,  # (H, W) last frame, resolved
     ibl=None,  # ops/ibl.EnvironmentIBL
-) -> FrameOutputs:
-    """The pure frame function (trace-time `config`, runtime everything else)."""
+    band: Optional[BandSpec] = None,
+) -> BandOutputs:
+    """Vertex transform -> shadows -> culling -> raster -> shade -> SSAA
+    resolve, for the full frame (band=None) or this device's band of rows.
+
+    This is THE frame pipeline — the multi-chip path (parallel/sharded.py)
+    shard_maps this very function, so every feature (Pallas raster,
+    textures, Forward+, CSM, alpha, culling) works identically on 1 or N
+    chips. Band mode differences are confined to: tile-grid row offsets
+    (y0), the shadow-map all_gather, and psum/pmax of the scalars.
+    """
     cfg = config
+    sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
+    rw, rh = cfg.width * sx, cfg.height * sy
+
+    if band is None:
+        y0r = 0  # first render row of the band
+        bhr = rh  # render rows in the band
+        bhp = cfg.height  # presentation rows in the band
+    else:
+        bhp = band_rows(cfg, band.n)
+        bhr = bhp * sy
+        idx = jax.lax.axis_index(band.axis)
+        y0r = idx * bhr
+
     tv = geometry.transform_vertices(
         uni.models,
         uni.view_proj,
@@ -222,6 +316,21 @@ def render_frame_program(
     shadow_overflow = None
     if cfg.shadow_enabled:
         s = cfg.shadow_resolution
+        st_h = (
+            cfg.shadow_tile_h
+            if cfg.shadow_tile_h is not None
+            else min(cfg.shadow_tile, 32)
+        )
+        if band is not None:
+            if s % (band.n * st_h) != 0:
+                raise ValueError(
+                    f"shadow_resolution {s} must divide into {band.n} bands"
+                    f" of {st_h}-row tiles"
+                )
+            s_band = s // band.n
+            sy0 = idx * s_band
+        else:
+            s_band, sy0 = s, 0
         world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
 
         alpha_shadow = cfg.alpha_test and cfg.textured and pool is not None
@@ -234,14 +343,14 @@ def render_frame_program(
             setup_s = geometry.triangle_setup(
                 clip_l, scene.tri_v, scene.tri_valid, s, s, cull_mode="front"
             )
-            bins_s = binning.bin_triangles(
-                setup_s.bbox, setup_s.valid, s, s,
-                cfg.shadow_tile, cfg.shadow_tile,
-                cfg.shadow_max_tris_per_tile,
+            bins_s = _binner(cfg, scene.tri_v.shape[0])(
+                setup_s.bbox, setup_s.valid, s_band, s,
+                st_h, cfg.shadow_tile,
+                cfg.shadow_max_tris_per_tile, y0=sy0,
             )
             vis_s = _raster(cfg)(
-                setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile,
-                layers=2 if alpha_shadow else 1,
+                setup_s, bins_s, s_band, s, st_h, cfg.shadow_tile,
+                y0=sy0, layers=2 if alpha_shadow else 1,
             )
             if alpha_shadow:
                 # Foliage alpha discard in the shadow pass
@@ -251,8 +360,14 @@ def render_frame_program(
                 vis_s = resolve_alpha_test(
                     vis_s, setup_s, scene.tri_v, scene.tri_draw,
                     scene.materials, scene.uv, pool, cutoff_override=0.1,
+                    y0=sy0,
                 )
-            return vis_s.depth, bins_s.overflow
+            d = vis_s.depth
+            if band is not None:
+                # Every device needs the whole map for PCF -> one tiled
+                # all_gather riding ICI per cascade per frame.
+                d = jax.lax.all_gather(d, band.axis, axis=0, tiled=True)
+            return d, bins_s.overflow
 
         if cfg.shadow_cascades > 1:
             per_cascade = [
@@ -266,13 +381,11 @@ def render_frame_program(
         else:
             shadow_map, shadow_overflow = depth_only(uni.light_space_matrix)
 
-    sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
-    rw, rh = cfg.width * sx, cfg.height * sy
-
     # GPU-driven per-draw culling: mask whole draws' triangles out before
     # binning (the TPU form of the indirect-draw compaction in
     # occlusion_cull.comp:224-232 — instead of rewriting draw commands, the
-    # per-triangle validity mask shrinks the binned workload).
+    # per-triangle validity mask shrinks the binned workload). Replicated
+    # work in band mode (cheap, and every device needs the same mask).
     tri_valid = scene.tri_valid
     visible_draws = None
     if cfg.frustum_culling or cfg.occlusion_culling:
@@ -296,16 +409,16 @@ def render_frame_program(
     setup = geometry.triangle_setup(
         tv.clip, scene.tri_v, tri_valid, rw, rh, cull_mode="back"
     )
-    bins = binning.bin_triangles(
-        setup.bbox, setup.valid, rh, rw,
-        cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile,
+    bins = _binner(cfg, scene.tri_v.shape[0])(
+        setup.bbox, setup.valid, bhr, rw,
+        cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile, y0=y0r,
     )
     blend = cfg.alpha_blend and cfg.shading == "pbr"
     alpha_main = (
         cfg.alpha_test and cfg.textured and pool is not None and not blend
     )
     vis = _raster(cfg)(
-        setup, bins, rh, rw, cfg.tile_h, cfg.tile_w,
+        setup, bins, bhr, rw, cfg.tile_h, cfg.tile_w, y0=y0r,
         layers=2 if (alpha_main or blend) else 1,
     )
     if alpha_main:
@@ -313,7 +426,7 @@ def render_frame_program(
 
         vis = resolve_alpha_test(
             vis, setup, scene.tri_v, scene.tri_draw, scene.materials,
-            scene.uv, pool,
+            scene.uv, pool, y0=y0r,
         )
 
     prev_clip = None
@@ -334,7 +447,8 @@ def render_frame_program(
 
     gbuf = interpolate_gbuffer(
         vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
-        scene.uv, scene.color, prev_clip=prev_clip,
+        scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
+        fb_height=rh, fb_width=rw,
     )
 
     tile_light_indices = None
@@ -346,6 +460,7 @@ def render_frame_program(
         tl = cull_lights(
             lights, uni.view, inv_projection, vis.depth, rw, rh,
             max_per_tile=cfg.max_lights_per_tile, tile=cfg.light_tile_size,
+            tile_y0=y0r // cfg.light_tile_size,
         )
         tile_light_indices = tl.indices[:, :, : cfg.shaded_lights_per_tile]
         tile_light_counts = jnp.minimum(
@@ -388,13 +503,12 @@ def render_frame_program(
         if blend:
             # Shade the second depth layer and composite front-over-back
             # (ops/shade.composite_over; two-layer OIT approximation).
-            from ..ops.raster import VisibilityBuffer
             from ..ops.shade import composite_over, pixel_alpha
 
             gbuf1 = interpolate_gbuffer(
                 vis.tri_id2,
                 setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
-                scene.color,
+                scene.color, y0=y0r, fb_height=rh, fb_width=rw,
             )
             color1 = run_shade(gbuf1)
             tex_pool = pool if cfg.textured else None
@@ -408,14 +522,47 @@ def render_frame_program(
     depth = vis.depth
     velocity = gbuf.velocity
     if sx > 1 or sy > 1:
-        # SSAA resolve: box-average color, min-reduce depth.
-        color = color.reshape(cfg.height, sy, cfg.width, sx, 3).mean((1, 3))
-        depth = depth.reshape(cfg.height, sy, cfg.width, sx).min((1, 3))
+        # SSAA resolve: box-average color, min-reduce depth (band-local).
+        color = color.reshape(bhp, sy, cfg.width, sx, 3).mean((1, 3))
+        depth = depth.reshape(bhp, sy, cfg.width, sx).min((1, 3))
         if velocity is not None:
-            velocity = velocity.reshape(
-                cfg.height, sy, cfg.width, sx, 2
-            ).mean((1, 3))
+            velocity = velocity.reshape(bhp, sy, cfg.width, sx, 2).mean(
+                (1, 3)
+            )
 
+    covered = jnp.sum((vis.tri_id >= 0).astype(jnp.int32))
+    overflow = bins.overflow
+    if band is not None:
+        covered = jax.lax.psum(covered, band.axis)
+        overflow = jax.lax.pmax(overflow, band.axis)
+        if shadow_overflow is not None:
+            shadow_overflow = jax.lax.pmax(shadow_overflow, band.axis)
+
+    return BandOutputs(
+        color=color,
+        depth=depth,
+        velocity=velocity,
+        shadow_map=shadow_map,
+        covered=covered,
+        overflow=overflow,
+        shadow_overflow=shadow_overflow,
+        visible_draws=visible_draws,
+    )
+
+
+def finalize_frame(
+    config: FrameConfig,
+    bo: BandOutputs,
+    post: Optional[PostParams] = None,
+    taa_params: Optional[TaaParams] = None,
+    history: Optional[jnp.ndarray] = None,
+) -> FrameOutputs:
+    """Post chain (TAA -> bloom -> tonemap -> FXAA) + u8 pack over the FULL
+    assembled frame. Runs outside shard_map in multi-chip mode — the post
+    convolutions cross band boundaries, so XLA's SPMD partitioner handles
+    their halos instead of hand-written collectives."""
+    cfg = config
+    color, velocity = bo.color, bo.velocity
     new_history = None
     if cfg.post_enabled:
         # HDR post chain: TAA (pre-tonemap) -> bloom -> tonemap + gamma.
@@ -451,14 +598,34 @@ def render_frame_program(
     return FrameOutputs(
         image=image,
         color=color,
-        depth=depth,
-        shadow_map=shadow_map,
-        covered_pixels=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
-        binning_overflow=bins.overflow,
+        depth=bo.depth,
+        shadow_map=bo.shadow_map,
+        covered_pixels=bo.covered,
+        binning_overflow=bo.overflow,
         history=new_history,
-        visible_draws=visible_draws,
-        shadow_overflow=shadow_overflow,
+        visible_draws=bo.visible_draws,
+        shadow_overflow=bo.shadow_overflow,
     )
+
+
+def render_frame_program(
+    config: FrameConfig,
+    scene: SceneBuffers,
+    uni: FrameUniforms,
+    pool: Optional[TexturePool],
+    post: Optional[PostParams] = None,
+    taa_params: Optional[TaaParams] = None,
+    history: Optional[jnp.ndarray] = None,
+    lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
+    prev_depth: Optional[jnp.ndarray] = None,  # (H, W) last frame, resolved
+    ibl=None,  # ops/ibl.EnvironmentIBL
+) -> FrameOutputs:
+    """The pure frame function (trace-time `config`, runtime everything
+    else): the single-device composition of render_band + finalize_frame."""
+    bo = render_band(
+        config, scene, uni, pool, lights, prev_depth, ibl, band=None
+    )
+    return finalize_frame(config, bo, post, taa_params, history)
 
 
 @functools.lru_cache(maxsize=32)

@@ -70,9 +70,18 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
     )
     timings["Vertex"] = t
 
+    from .frame import _binner
+
+    binner = _binner(cfg, scene.tri_v.shape[0])
+
     shadow_map = None
     if cfg.shadow_enabled:
         s = cfg.shadow_resolution
+        st_h = (
+            cfg.shadow_tile_h
+            if cfg.shadow_tile_h is not None
+            else min(cfg.shadow_tile, 32)
+        )
         lsm = jnp.asarray(renderer.shadow_feature.light_space_matrix())
         world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
         clip_l = jnp.einsum("ij,vj->vi", lsm, world4)
@@ -81,11 +90,11 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
             setup_s = geometry.triangle_setup(
                 clip_l, scene.tri_v, scene.tri_valid, s, s, "front"
             )
-            bins_s = binning.bin_triangles(
-                setup_s.bbox, setup_s.valid, s, s, cfg.shadow_tile,
+            bins_s = binner(
+                setup_s.bbox, setup_s.valid, s, s, st_h,
                 cfg.shadow_tile, cfg.shadow_max_tris_per_tile,
             )
-            return rast(setup_s, bins_s, s, s, cfg.shadow_tile, cfg.shadow_tile)
+            return rast(setup_s, bins_s, s, s, st_h, cfg.shadow_tile)
 
         t, vis_s = _time(shadow_pass, n=n)
         timings["ShadowEnd"] = t
@@ -99,7 +108,7 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
     )
     timings["Setup"] = t
     t, bins = _time(
-        lambda: binning.bin_triangles(
+        lambda: binner(
             setup.bbox, setup.valid, h, w, cfg.tile_h, cfg.tile_w,
             cfg.max_tris_per_tile,
         ), n=n,

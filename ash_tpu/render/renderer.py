@@ -74,7 +74,13 @@ class RendererConfig:
     # overflow the 256-tri cap (dropped shadow triangles = light leaks);
     # 128 px tiles hold overflow at 0 with no measured frame-time cost.
     shadow_tile: int = 128
+    # Shadow tile row count (None = min(shadow_tile, 32)); shadow_tile is
+    # the lane width. See FrameConfig.shadow_tile_h.
+    shadow_tile_h: Optional[int] = None
     shadow_max_tris_per_tile: int = 256
+    # Binning: None = auto two-level for >32k-triangle scenes.
+    two_level_binning: Optional[bool] = None
+    binning_coarse_cap: int = 16384
     # Cascaded shadow maps: pass a CsmConfig (render/csm.py) to render
     # cascade_count depth maps fitted to the view frustum instead of the
     # single scene-sphere map. None = single map (the reference's wired path).
@@ -391,7 +397,10 @@ class Renderer:
             csm_blend_size=csm_blend,
             shadow_resolution=shadow_res,
             shadow_tile=c.shadow_tile,
+            shadow_tile_h=c.shadow_tile_h,
             shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,
+            two_level_binning=c.two_level_binning,
+            binning_coarse_cap=c.binning_coarse_cap,
             textured=textured,
             max_anisotropy=c.max_anisotropy,
             shading=c.shading,
@@ -450,6 +459,12 @@ class Renderer:
             self._single_mat_row = (
                 items[0].packed_material() if self._single_mesh_key else None
             )
+            # Fit the shadow volume to the scene (no-op if the app called
+            # set_scene_bounds) and refresh the light matrix for THIS frame.
+            self.shadow_feature.auto_fit_bounds(
+                self._scene.scene_center, self._scene.scene_radius
+            )
+            self.shadow_feature.before_frame(ctx)
         elif not self.draw_items and self._single_mesh_key is not None:
             row = items[0].packed_material()
             if not np.array_equal(row, self._single_mat_row):

@@ -38,7 +38,7 @@ def main(out="multichip.png"):
     uni = jax.tree.map(jnp.asarray, uni)
 
     frame = make_sharded_frame(config, mesh)
-    img = np.asarray(frame(scene, uni))
+    img = np.asarray(frame(scene, uni).image)
 
     single = render_frame_program(config, scene, uni, None)
     match = (img == np.asarray(single.image)).mean()

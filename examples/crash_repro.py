@@ -1,7 +1,13 @@
-"""Stress regression: large mesh + large texture upload
-(reference examples/crash_repro.rs: 209,668 vertices / 982,380 indices plus a
-2048x2048 texture upload had to complete without crashing,
-crash_repro.rs:31-33).
+"""Stress regression: large mesh + large texture upload + interactive render.
+
+The reference's crash_repro (examples/crash_repro.rs:31-33) uploads exactly
+209,668 vertices / 982,380 indices plus a 2048x2048 texture and must not
+crash (its mesh data is degenerate — the test is allocation/upload only).
+This version keeps the exact upload contract AND gives the triangles real
+geometry (a displaced sphere grid, ~326k small triangles), then renders it
+at 1080p — exercising the two-level coarse->fine binner
+(ops/binning.bin_triangles_two_level) that removes the dense binner's
+triangle-count cliff.
 
 Run: python examples/crash_repro.py
 """
@@ -22,29 +28,68 @@ TARGET_INDICES = 982_380
 
 
 def build_stress_mesh() -> Mesh:
-    """Synthetic mesh matching the reference's stress counts."""
+    """Structured mesh with the reference's exact vertex/index counts.
+
+    A 405x405 displaced-sphere grid supplies 164,025 real vertices and
+    326,432 real triangles; the remainder are padding vertices and
+    degenerate (zero-area) triangles so the UPLOAD counts match the
+    reference contract exactly (degenerate triangles are culled by
+    triangle_setup, like the GPU would drop them)."""
     rng = np.random.default_rng(0)
+    n, m = 405, 405
+    grid_v = n * m  # 164,025
+    grid_t = 2 * (n - 1) * (m - 1)  # 326,432
+
+    theta = np.linspace(0.25, np.pi - 0.25, n, dtype=np.float32)
+    phi = np.linspace(0.0, 2 * np.pi, m, dtype=np.float32)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    r = 1.0 + 0.06 * rng.standard_normal((n, m)).astype(np.float32)
+    pos_grid = np.stack(
+        [
+            r * np.sin(tt) * np.cos(pp),
+            r * np.cos(tt),
+            r * np.sin(tt) * np.sin(pp),
+        ],
+        axis=-1,
+    ).reshape(grid_v, 3)
+
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(m - 1), indexing="ij")
+    v00 = (ii * m + jj).reshape(-1)
+    v01 = v00 + 1
+    v10 = v00 + m
+    v11 = v10 + 1
+    quads = np.stack(
+        [np.stack([v00, v10, v01], 1), np.stack([v01, v10, v11], 1)], axis=1
+    ).reshape(-1, 3)
+
+    pos = np.zeros((TARGET_VERTS, 3), np.float32)
+    pos[:grid_v] = pos_grid
+    normal = np.zeros_like(pos)
+    normal[:grid_v] = pos_grid / np.linalg.norm(
+        pos_grid, axis=1, keepdims=True
+    )
     n_tris = TARGET_INDICES // 3
-    # A perturbed sphere point cloud fanned into triangles.
-    pos = rng.normal(size=(TARGET_VERTS, 3)).astype(np.float32)
-    pos /= np.linalg.norm(pos, axis=1, keepdims=True)
-    pos *= 1.0 + 0.05 * rng.random(( TARGET_VERTS, 1)).astype(np.float32)
-    idx = rng.integers(0, TARGET_VERTS, size=(n_tris, 3), dtype=np.int64)
+    idx = np.zeros((n_tris, 3), np.uint32)
+    idx[:grid_t] = quads  # the rest stay (0,0,0): zero-area, culled
+
     tex = TextureData(
         width=2048, height=2048,
         pixels=rng.integers(0, 256, (2048, 2048, 4), dtype=np.uint8),
     )
+    uv = np.zeros((TARGET_VERTS, 2), np.float32)
+    uv[:grid_v, 0] = (pp / (2 * np.pi)).reshape(-1)
+    uv[:grid_v, 1] = (tt / np.pi).reshape(-1)
     return Mesh(
         name="stress",
         vertices=VertexArrays(
             position=pos,
-            normal=pos.copy(),
-            uv=np.abs(pos[:, :2]),
+            normal=normal,
+            uv=uv,
             color=np.ones((TARGET_VERTS, 3), np.float32),
             tangent=np.tile(np.array([1, 0, 0, 1], np.float32),
                             (TARGET_VERTS, 1)),
         ),
-        indices=idx.reshape(-1).astype(np.uint32),
+        indices=idx.reshape(-1),
         texture_data=tex,
     )
 
@@ -57,21 +102,42 @@ def main():
     assert len(mesh.vertices) == TARGET_VERTS
     assert mesh.indices.shape[0] == TARGET_INDICES
 
-    surface = HeadlessSurface(640, 480)
+    surface = HeadlessSurface(1920, 1080)
+    # 2048^2 shadow map + generous per-tile caps: the sphere's light-space
+    # silhouette compresses many triangles into few shadow tiles.
     r = Renderer(
         surface,
-        RendererConfig(shadow_resolution=1024, max_tris_per_tile=512),
+        RendererConfig(max_tris_per_tile=8192,
+                       shadow_max_tris_per_tile=8192),
     )
     t0 = time.perf_counter()
     r.set_mesh(mesh)  # upload: scene pack + mip chain + bindless registration
-    cam = Camera.new([0, 0, 3.5], [0, 0, 0], 640 / 480)
+    cam = Camera.new([0, 0, 3.0], [0, 0, 0], 1920 / 1080)
     out = r.render_frame(
         cam.view_matrix(), cam.projection_matrix(), cam.position
     )
     out.image.block_until_ready()
-    print(f"upload + first frame: {time.perf_counter()-t0:.2f}s, "
-          f"covered {int(out.covered_pixels)} px, "
-          f"binning overflow {int(out.binning_overflow)}")
+    # NOTE: no scalar readbacks here — an int(out.covered_pixels) near the
+    # first execution degrades every later frame ~300x on the TPU plugin
+    # (the round-1 VERDICT regression). Scalars are read after timing.
+    print(f"upload + first frame: {time.perf_counter()-t0:.2f}s")
+
+    # Interactive-rate check (>= 30 fps target at 1080p).
+    frames = 10
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = r.render_frame(
+            cam.view_matrix(), cam.projection_matrix(), cam.position
+        )
+    out.image.block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+    shadow_of = (
+        int(out.shadow_overflow) if out.shadow_overflow is not None else 0
+    )
+    print(f"steady state: {dt*1000:.2f} ms/frame ({1/dt:.1f} fps) @ 1080p, "
+          f"{mesh.num_triangles} triangles, covered "
+          f"{int(out.covered_pixels)} px, "
+          f"overflow main={int(out.binning_overflow)} shadow={shadow_of}")
     print("OK — no crash")
 
 

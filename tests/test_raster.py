@@ -195,3 +195,45 @@ def test_untile_roundtrip():
     tiled = raster.tile_image(img, 8, 16)
     back = raster.untile(tiled, 13, 29, 8, 16)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_two_level_binning_matches_dense():
+    """bin_triangles_two_level reproduces the dense binner exactly whenever
+    nothing overflows the coarse cap (random bboxes, odd grid sizes)."""
+    rng = np.random.default_rng(5)
+    t = 300
+    x0 = rng.random(t) * 200
+    y0 = rng.random(t) * 150
+    bbox = np.stack(
+        [x0, y0, x0 + rng.random(t) * 60, y0 + rng.random(t) * 40], axis=1
+    ).astype(np.float32)
+    valid = rng.random(t) > 0.2
+    for band_y0, h in ((0, 160), (64, 48)):
+        dense = binning.bin_triangles(
+            jnp.asarray(bbox), jnp.asarray(valid), h, 208, 16, 32, 64,
+            y0=band_y0,
+        )
+        two = binning.bin_triangles_two_level(
+            jnp.asarray(bbox), jnp.asarray(valid), h, 208, 16, 32, 64,
+            y0=band_y0, coarse_tiles=(3, 2), coarse_cap=t,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(two.tri_ids), np.asarray(dense.tri_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(two.counts), np.asarray(dense.counts)
+        )
+        assert int(two.overflow) == int(dense.overflow)
+
+
+def test_two_level_binning_coarse_overflow_reported():
+    """Coarse-cap drops surface through `overflow` instead of vanishing."""
+    t = 64
+    # All triangles overlap the same pixel -> one coarse tile holds all.
+    bbox = np.tile(np.array([[1.0, 1.0, 3.0, 3.0]], np.float32), (t, 1))
+    valid = np.ones(t, bool)
+    two = binning.bin_triangles_two_level(
+        jnp.asarray(bbox), jnp.asarray(valid), 64, 64, 16, 32, 64,
+        coarse_cap=16,
+    )
+    assert int(two.overflow) >= t - 16
