@@ -89,11 +89,26 @@ class Mesh:
     occlusion_texture_index: Optional[int] = None
     emissive_texture_index: Optional[int] = None
 
+    # LOD chain: lower-detail levels + the screen-coverage threshold below
+    # which each kicks in (reference LodMesh/LodLevel, lod_system.rs:35-59;
+    # selection semantics lod_system.rs:317-337). This mesh is level 0.
+    lods: list = dataclasses.field(default_factory=list)  # [(Mesh, float)]
+
     def __post_init__(self):
         if self.indices is not None:
             self.indices = np.asarray(self.indices, np.uint32).reshape(-1)
         if self.material_properties is None:
             self.material_properties = MaterialProperties()
+
+    def add_lod(self, mesh: "Mesh", screen_threshold: float) -> "Mesh":
+        """Append a lower-detail level: used when the draw's projected
+        screen coverage drops below `screen_threshold` (and stays above the
+        next level's threshold). Thresholds must be added in decreasing
+        order. Returns self for chaining."""
+        if self.lods and screen_threshold >= self.lods[-1][1]:
+            raise ValueError("LOD thresholds must decrease per level")
+        self.lods.append((mesh, float(screen_threshold)))
+        return self
 
     @property
     def triangle_indices(self) -> np.ndarray:

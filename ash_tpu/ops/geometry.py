@@ -26,7 +26,7 @@ Conventions (must match the reference's Vulkan pipeline):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -110,16 +110,25 @@ def inverse_transpose_3x3(m: jnp.ndarray) -> jnp.ndarray:
 def transform_vertices(
     models: jnp.ndarray,  # (D, 4, 4) per-draw model matrices
     view_proj: jnp.ndarray,  # (4, 4)
-    positions: jnp.ndarray,  # (V, 3)
-    normals: jnp.ndarray,  # (V, 3)
-    tangents: jnp.ndarray,  # (V, 4)
-    vert_draw: jnp.ndarray,  # (V,) int32 draw id per vertex
+    positions: jnp.ndarray,  # (Vu, 3) UNIQUE mesh-pool attributes
+    normals: jnp.ndarray,  # (Vu, 3)
+    tangents: jnp.ndarray,  # (Vu, 4)
+    vert_draw: jnp.ndarray,  # (Ve,) int32 draw id per EXPANDED vertex
+    vert_uid: Optional[jnp.ndarray] = None,  # (Ve,) int32 -> unique vertex
 ) -> TransformedVerts:
     """The vertex stage: world/clip/normal/tangent for every scene vertex.
 
     Mirrors shaders/vert.vert:30-43, batched over the whole draw list.
+    With `vert_uid`, attributes live once per unique mesh and instances are
+    expanded here by gather — true instancing: the static scene stores one
+    copy of each mesh (instancing.rs:16's shared-vertex-buffer contract);
+    only the transformed outputs are per-instance, and only transiently.
     """
-    m = models[vert_draw]  # (V, 4, 4) gather
+    if vert_uid is not None:
+        positions = positions[vert_uid]
+        normals = normals[vert_uid]
+        tangents = tangents[vert_uid]
+    m = models[vert_draw]  # (Ve, 4, 4) gather
     world = (
         jnp.einsum("vij,vj->vi", m[:, :3, :3], positions,
                    precision="highest", preferred_element_type=jnp.float32)

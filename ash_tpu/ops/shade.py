@@ -102,22 +102,26 @@ class GBuffer(NamedTuple):
 def interpolate_gbuffer(
     tri_id: jnp.ndarray,  # (H, W)
     setup: TriangleSetup,
-    tri_v: jnp.ndarray,  # (T, 3)
+    tri_v: jnp.ndarray,  # (T, 3) EXPANDED vertex ids
     tri_draw: jnp.ndarray,  # (T,)
     verts: TransformedVerts,
-    vert_uv: jnp.ndarray,  # (V, 2)
-    vert_color: jnp.ndarray,  # (V, 3)
+    vert_uv: jnp.ndarray,  # (Vu, 2) unique-pool attribute
+    vert_color: jnp.ndarray,  # (Vu, 3) unique-pool attribute
     y0=0,  # global framebuffer row of this band (screen-space sharding)
-    prev_clip: Optional[jnp.ndarray] = None,  # (V, 4) last frame's clip pos
+    prev_clip: Optional[jnp.ndarray] = None,  # (Ve, 4) last frame's clip pos
     fb_height: Optional[int] = None,  # FULL framebuffer dims for the
     fb_width: Optional[int] = None,  # velocity uv normalization (bands)
+    vert_uid: Optional[jnp.ndarray] = None,  # (Ve,) -> unique vertex
 ) -> GBuffer:
     h, w = tri_id.shape
     fb_h = fb_height if fb_height is not None else h
     fb_w = fb_width if fb_width is not None else w
     mask = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
-    vids = tri_v[t]  # (H, W, 3)
+    vids = tri_v[t]  # (H, W, 3) expanded vertex ids
+    # Static attributes live in the unique mesh pool (true instancing):
+    # chase the expanded id through vert_uid for uv/color gathers.
+    uids = vert_uid[vids] if vert_uid is not None else vids
     edge = setup.edge[t]  # (H, W, 3, 3) homogeneous edge rows
 
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
@@ -141,14 +145,14 @@ def interpolate_gbuffer(
     world = _interp(pw, verts.world[vids])
     normal = _normalize(_interp(pw, verts.normal[vids]))
     tangent = _interp(pw, verts.tangent[vids])
-    uv = _interp(pw, vert_uv[vids])
-    color = _interp(pw, vert_color[vids])
+    uv = _interp(pw, vert_uv[uids])
+    color = _interp(pw, vert_color[uids])
 
     # Analytic screen-space UV derivatives: re-evaluate the projective
     # interpolation one pixel right/down (exact, replaces the GPU's 2x2-quad
     # finite differences used for mip selection).
-    uv_x = _interp(weights_at(px + 1.0, py), vert_uv[vids])
-    uv_y = _interp(weights_at(px, py + 1.0), vert_uv[vids])
+    uv_x = _interp(weights_at(px + 1.0, py), vert_uv[uids])
+    uv_y = _interp(weights_at(px, py + 1.0), vert_uv[uids])
 
     # Motion vectors: interpolate LAST frame's clip position of this surface
     # point, project, and diff against the pixel's own uv. Feeds the TAA
@@ -185,10 +189,11 @@ def resolve_alpha_test(
     tri_v: jnp.ndarray,
     tri_draw: jnp.ndarray,
     materials: jnp.ndarray,  # (D, 18)
-    vert_uv: jnp.ndarray,
+    vert_uv: jnp.ndarray,  # (Vu, 2) unique-pool attribute
     pool,
     cutoff_override: Optional[float] = None,
-    y0: int = 0,
+    y0=0,
+    vert_uid: Optional[jnp.ndarray] = None,  # (Ve,) -> unique vertex
 ):
     """Alpha-test (cutout) resolution over a two-layer visibility buffer.
 
@@ -216,7 +221,8 @@ def resolve_alpha_test(
     lam = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
     s = jnp.sum(lam, axis=-1, keepdims=True)
     pw = lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
-    uv = _interp(pw, vert_uv[vids])
+    uids = vert_uid[vids] if vert_uid is not None else vids
+    uv = _interp(pw, vert_uv[uids])
 
     mat = materials[tri_draw[t]]
     base_idx = mat[..., 12].astype(jnp.int32)

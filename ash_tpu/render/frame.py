@@ -156,6 +156,10 @@ class FrameConfig:
     # Image-based lighting: when the renderer holds an environment bundle
     # (ops/ibl.py), the split-sum IBL replaces the flat ambient term.
     ibl_enabled: bool = False
+    # LOD: select each draw's packed detail level by screen coverage in-jit
+    # (needs Mesh.add_lod chains; scene.tri_lod / lod_thresholds).
+    lod_enabled: bool = False
+    lod_cull_threshold: float = 0.001  # reference lod_system.rs:56
 
 
 class PostParams(NamedTuple):
@@ -310,7 +314,44 @@ def render_band(
         scene.normal,
         scene.tangent,
         scene.vert_draw,
+        vert_uid=scene.vert_uid,
     )
+
+    # LOD selection (reference lod_system.rs:300-346, wired in-jit): the
+    # per-draw screen coverage picks a level; triangles of other levels are
+    # masked out of EVERY pass below — the TPU form of rebuilding the draw
+    # list per frame (static shapes, dynamic selection).
+    lod_tri_mask = None
+    if cfg.lod_enabled:
+        c4 = jnp.concatenate(
+            [scene.draw_center, jnp.ones_like(scene.draw_center[:, :1])], -1
+        )
+        cw = jnp.einsum("dij,dj->di", uni.models, c4)  # (D, 4) world center
+        clip_c = jnp.einsum("ij,dj->di", uni.view_proj, cw)
+        wc = clip_c[:, 3]
+        # World radius: local bound radius x the model's largest axis scale.
+        scale = jnp.max(
+            jnp.linalg.norm(uni.models[:, :3, :3], axis=2), axis=-1
+        )
+        radius = jnp.linalg.norm(scene.draw_extents, axis=-1) * scale
+        px_r = radius / jnp.maximum(wc, 1e-8) * (
+            0.5 * max(cfg.width, cfg.height)
+        )
+        coverage = jnp.minimum(
+            jnp.pi * px_r * px_r / (cfg.width * cfg.height), 1.0
+        )
+        coverage = jnp.where(wc <= 0.0, 0.0, coverage)
+        hit = coverage[:, None] >= scene.lod_thresholds  # (D, L)
+        sel = jnp.argmax(hit, axis=1).astype(jnp.int32)  # first level that
+        draw_live = coverage >= cfg.lod_cull_threshold  # holds; + size cull
+        lod_tri_mask = (
+            (scene.tri_lod == sel[scene.tri_draw])
+            & draw_live[scene.tri_draw]
+        )
+
+    base_tri_valid = scene.tri_valid
+    if lod_tri_mask is not None:
+        base_tri_valid = base_tri_valid & lod_tri_mask
 
     shadow_map = None
     shadow_overflow = None
@@ -341,7 +382,7 @@ def render_band(
                 preferred_element_type=jnp.float32,
             )
             setup_s = geometry.triangle_setup(
-                clip_l, scene.tri_v, scene.tri_valid, s, s, cull_mode="front"
+                clip_l, scene.tri_v, base_tri_valid, s, s, cull_mode="front"
             )
             bins_s = _binner(cfg, scene.tri_v.shape[0])(
                 setup_s.bbox, setup_s.valid, s_band, s,
@@ -360,7 +401,7 @@ def render_band(
                 vis_s = resolve_alpha_test(
                     vis_s, setup_s, scene.tri_v, scene.tri_draw,
                     scene.materials, scene.uv, pool, cutoff_override=0.1,
-                    y0=sy0,
+                    y0=sy0, vert_uid=scene.vert_uid,
                 )
             d = vis_s.depth
             if band is not None:
@@ -386,7 +427,7 @@ def render_band(
     # occlusion_cull.comp:224-232 — instead of rewriting draw commands, the
     # per-triangle validity mask shrinks the binned workload). Replicated
     # work in band mode (cheap, and every device needs the same mask).
-    tri_valid = scene.tri_valid
+    tri_valid = base_tri_valid
     visible_draws = None
     if cfg.frustum_culling or cfg.occlusion_culling:
         from ..ops import occlusion as occl
@@ -426,7 +467,7 @@ def render_band(
 
         vis = resolve_alpha_test(
             vis, setup, scene.tri_v, scene.tri_draw, scene.materials,
-            scene.uv, pool, y0=y0r,
+            scene.uv, pool, y0=y0r, vert_uid=scene.vert_uid,
         )
 
     prev_clip = None
@@ -435,9 +476,10 @@ def render_band(
         and uni.prev_models is not None
         and uni.prev_view_proj is not None
     ):
-        pm = uni.prev_models[scene.vert_draw]  # (V, 4, 4)
+        pm = uni.prev_models[scene.vert_draw]  # (Ve, 4, 4)
+        pos_e = scene.position[scene.vert_uid]  # expand the unique pool
         prev_world = (
-            jnp.einsum("vij,vj->vi", pm[:, :3, :3], scene.position)
+            jnp.einsum("vij,vj->vi", pm[:, :3, :3], pos_e)
             + pm[:, :3, 3]
         )
         pw4 = jnp.concatenate(
@@ -448,7 +490,7 @@ def render_band(
     gbuf = interpolate_gbuffer(
         vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
         scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
-        fb_height=rh, fb_width=rw,
+        fb_height=rh, fb_width=rw, vert_uid=scene.vert_uid,
     )
 
     tile_light_indices = None
@@ -509,6 +551,7 @@ def render_band(
                 vis.tri_id2,
                 setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
                 scene.color, y0=y0r, fb_height=rh, fb_width=rw,
+                vert_uid=scene.vert_uid,
             )
             color1 = run_shade(gbuf1)
             tex_pool = pool if cfg.textured else None

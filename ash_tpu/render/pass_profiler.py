@@ -65,7 +65,7 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
     t, tv = _time(
         lambda: geometry.transform_vertices(
             models, view_proj, scene.position, scene.normal, scene.tangent,
-            scene.vert_draw,
+            scene.vert_draw, vert_uid=scene.vert_uid,
         ), n=n,
     )
     timings["Vertex"] = t
@@ -121,7 +121,7 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
     t, gbuf = _time(
         lambda: interpolate_gbuffer(
             vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
-            scene.color,
+            scene.color, vert_uid=scene.vert_uid,
         ), n=n,
     )
     timings["GBuffer"] = t

@@ -81,6 +81,10 @@ class RendererConfig:
     # Binning: None = auto two-level for >32k-triangle scenes.
     two_level_binning: Optional[bool] = None
     binning_coarse_cap: int = 16384
+    # LOD: in-jit screen-coverage level selection for meshes that carry
+    # Mesh.add_lod chains (reference LodConfig, lod_system.rs:35-59).
+    lod_enabled: bool = True
+    lod_cull_threshold: float = 0.001
     # Cascaded shadow maps: pass a CsmConfig (render/csm.py) to render
     # cascade_count depth maps fitted to the view frustum instead of the
     # single scene-sphere map. None = single map (the reference's wired path).
@@ -416,6 +420,12 @@ class Renderer:
             ssaa_y=MsaaPreset.SCALE[self.msaa][1],
             frustum_culling=c.frustum_culling,
             occlusion_culling=self.occlusion_culling,
+            lod_enabled=(
+                c.lod_enabled
+                and self._scene is not None
+                and self._scene.has_lods
+            ),
+            lod_cull_threshold=c.lod_cull_threshold,
         )
 
     def render_frame(self, view: np.ndarray, proj: np.ndarray, camera_pos) -> FrameOutputs:
@@ -698,6 +708,56 @@ class Renderer:
         if self._taa_history is not None:
             total += int(np.prod(self._taa_history.shape)) * 4
         return total
+
+    def lod_stats(self, view, proj):
+        """LodStats for the current scene at a camera (host-side mirror of
+        the in-jit selection in render_band — no device readbacks).
+
+        Reference LodStats semantics (lod_system.rs:148-185): triangle
+        counts before/after selection, culled object count, histogram."""
+        from .lod_system import MAX_LOD_LEVELS, LodStats
+
+        stats = LodStats()
+        scene = self._scene
+        if scene is None or not scene.has_lods:
+            return stats
+        items = self._current_draw_items()
+        models = build_models(items, len(items))
+        view = np.asarray(view, np.float32)
+        proj = np.asarray(proj, np.float32)
+        vp = proj @ view
+
+        c4 = np.concatenate(
+            [scene.draw_center_host, np.ones((len(items), 1), np.float32)],
+            axis=-1,
+        )
+        cw = np.einsum("dij,dj->di", models, c4)
+        clip_c = cw @ vp.T
+        wc = clip_c[:, 3]
+        scale = np.max(
+            np.linalg.norm(models[:, :3, :3], axis=2), axis=-1
+        )
+        radius = np.linalg.norm(scene.draw_extents_host, axis=-1) * scale
+        px_r = radius / np.maximum(wc, 1e-8) * (
+            0.5 * max(self._width, self._height)
+        )
+        coverage = np.minimum(
+            np.pi * px_r * px_r / (self._width * self._height), 1.0
+        )
+        coverage = np.where(wc <= 0.0, 0.0, coverage)
+        sel = np.argmax(
+            coverage[:, None] >= scene.lod_thresholds_host, axis=1
+        )
+        live = coverage >= self.config.lod_cull_threshold
+        lt = scene.lod_level_triangles
+        stats.triangles_before = int(lt[:, 0].sum())
+        stats.triangles_after = int(
+            (lt[np.arange(len(items)), sel] * live).sum()
+        )
+        stats.objects_culled = int((~live).sum())
+        for i in range(MAX_LOD_LEVELS):
+            stats.objects_per_lod[i] = int(((sel == i) & live).sum())
+        return stats
 
     def profile_passes(self, view, proj, camera_pos, n: int = 3):
         """Per-pass device timings (the GpuProfiler readout; see
