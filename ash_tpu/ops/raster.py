@@ -40,11 +40,29 @@ from .geometry import TriangleSetup
 class VisibilityBuffer(NamedTuple):
     depth: jnp.ndarray  # (H, W) float32, 1.0 = far/clear
     tri_id: jnp.ndarray  # (H, W) int32, -1 = background
-    # Second-nearest layer (only when rasterized with layers=2; else None).
+    # Second-nearest layer (only when rasterized with layers>=2; else None).
     # Feeds alpha-test resolution: pixels whose nearest triangle is cut out
-    # fall through to this layer (depth-2 peeling in one pass).
+    # fall through to this layer (depth-K peeling in one pass).
     depth2: Optional[jnp.ndarray] = None
     tri_id2: Optional[jnp.ndarray] = None
+    # Layers 3..K stacked (L-2, H, W), nearest first (layers>=3 only).
+    depth_rest: Optional[jnp.ndarray] = None
+    tri_id_rest: Optional[jnp.ndarray] = None
+
+    @property
+    def num_layers(self) -> int:
+        n = 1 + (self.depth2 is not None)
+        if self.depth_rest is not None:
+            n += self.depth_rest.shape[0]
+        return n
+
+    def layer(self, i: int):
+        """(depth, tri_id) of peel layer i (0 = nearest)."""
+        if i == 0:
+            return self.depth, self.tri_id
+        if i == 1:
+            return self.depth2, self.tri_id2
+        return self.depth_rest[i - 2], self.tri_id_rest[i - 2]
 
 
 def _gather_tile_tris(setup: TriangleSetup, tri_ids: jnp.ndarray) -> jnp.ndarray:
@@ -182,32 +200,43 @@ def rasterize(
             tri_id=untile(tid, height, width, tile_h, tile_w),
         )
 
-    def step2(carry, inputs):
-        z0b, t0b, z1b, t1b = carry
+    # K-layer single-pass depth peeling: each incoming triangle "bubbles"
+    # down the per-pixel sorted layer list — at every layer the candidate
+    # either displaces the stored surface (taking its place, with the
+    # displaced one becoming the new candidate) or passes on. K compare-
+    # selects per triangle; identical to the 2-layer closer/mid logic.
+    L = layers
+
+    def stepk(carry, inputs):
+        zs, ts = carry  # lists of (num_tiles, TH, TW)
         tri, ids = inputs
         inside, z = coverage_and_depth(tri, px, py)
         ok = ids[:, None, None] >= 0
-        idb = ids[:, None, None]
         hit = inside & ok & (z >= 0.0) & (z <= 1.0)
-        closer = hit & (z < z0b)
-        mid = hit & ~closer & (z < z1b)
-        # Demote the old nearest when a closer one arrives.
-        z1b = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
-        t1b = jnp.where(closer, t0b, jnp.where(mid, idb, t1b))
-        z0b = jnp.where(closer, z, z0b)
-        t0b = jnp.where(closer, idb, t0b)
-        return (z0b, t0b, z1b, t1b), None
+        cz, ct = z, jnp.broadcast_to(ids[:, None, None], z.shape)
+        new_zs, new_ts = [], []
+        for layer_i in range(L):
+            swap = hit & (cz < zs[layer_i])
+            new_zs.append(jnp.where(swap, cz, zs[layer_i]))
+            new_ts.append(jnp.where(swap, ct, ts[layer_i]))
+            cz = jnp.where(swap, zs[layer_i], cz)
+            ct = jnp.where(swap, ts[layer_i], ct)
+        return (new_zs, new_ts), None
 
-    (z0b, t0b, z1b, t1b), _ = jax.lax.scan(
-        step2,
-        (zbuf0, tid0, zbuf0, tid0),
+    (zs, ts), _ = jax.lax.scan(
+        stepk,
+        ([zbuf0] * L, [tid0] * L),
         (tile_data.transpose(1, 0, 2), bins.tri_ids.T),
         length=k,
         unroll=min(unroll, k),
     )
+    uz = [untile(zb, height, width, tile_h, tile_w) for zb in zs]
+    ut = [untile(tb, height, width, tile_h, tile_w) for tb in ts]
     return VisibilityBuffer(
-        depth=untile(z0b, height, width, tile_h, tile_w),
-        tri_id=untile(t0b, height, width, tile_h, tile_w),
-        depth2=untile(z1b, height, width, tile_h, tile_w),
-        tri_id2=untile(t1b, height, width, tile_h, tile_w),
+        depth=uz[0],
+        tri_id=ut[0],
+        depth2=uz[1],
+        tri_id2=ut[1],
+        depth_rest=jnp.stack(uz[2:]) if L > 2 else None,
+        tri_id_rest=jnp.stack(ut[2:]) if L > 2 else None,
     )

@@ -135,45 +135,53 @@ def _raster_kernel(
     jax.lax.fori_loop(0, (count + _PACK - 1) // _PACK, loop, 0)
 
 
-def _raster_kernel2(
+def _raster_kernel_layers(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
-    data_ref,  # VMEM (1, K/8, 128)
-    z0_ref,
-    t0_ref,
-    z1_ref,
-    t1_ref,
-    *,
+    *refs,  # data_ref, then z/t ref pairs per layer (all VMEM)
+    layers: int,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
 ):
-    """Two-layer (depth-peeling) variant: nearest + second-nearest."""
+    """K-layer (depth-peeling) variant: the K nearest surfaces per pixel.
+
+    Each hit bubbles down the per-pixel sorted layer list — at every layer
+    the candidate either displaces the stored surface (the displaced one
+    becomes the new candidate) or passes on. For K=2 this reduces exactly
+    to the classic closer/mid two-layer peel.
+    """
+    data_ref = refs[0]
+    z_refs = refs[1 : 1 + 2 * layers : 2]
+    t_refs = refs[2 : 2 + 2 * layers : 2]
     tile, px, py = _pixel_grid(tile_h, tile_w, tiles_x)
 
     ones = jnp.ones((tile_h, tile_w), jnp.float32)
     neg = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    z0_ref[0] = ones
-    t0_ref[0] = neg
-    z1_ref[0] = ones
-    t1_ref[0] = neg
+    for zr, tr in zip(z_refs, t_refs):
+        zr[0] = ones
+        tr[0] = neg
 
     count = counts_ref[tile]
 
     def loop(i, _):
         block = data_ref[0, i]
-        z0b, t0b = z0_ref[0], t0_ref[0]
-        z1b, t1b = z1_ref[0], t1_ref[0]
+        zs = [zr[0] for zr in z_refs]
+        ts = [tr[0] for tr in t_refs]
         for j in range(_PACK):
-            hit, z, tri = _eval_record(block, j, px, py)
-            closer = hit & (z < z0b)
-            mid = hit & ~closer & (z < z1b)
-            # Demote the old nearest when a closer one arrives.
-            z1b = jnp.where(closer, z0b, jnp.where(mid, z, z1b))
-            t1b = jnp.where(closer, t0b, jnp.where(mid, tri, t1b))
-            z0b = jnp.where(closer, z, z0b)
-            t0b = jnp.where(closer, tri, t0b)
-        z0_ref[0], t0_ref[0] = z0b, t0b
-        z1_ref[0], t1_ref[0] = z1b, t1b
+            hit, cz, ct = _eval_record(block, j, px, py)
+            for li in range(layers):
+                swap = hit & (cz < zs[li])
+                zs[li], cz = (
+                    jnp.where(swap, cz, zs[li]),
+                    jnp.where(swap, zs[li], cz),
+                )
+                ts[li], ct = (
+                    jnp.where(swap, ct, ts[li]),
+                    jnp.where(swap, ts[li], ct),
+                )
+        for li in range(layers):
+            z_refs[li][0] = zs[li]
+            t_refs[li][0] = ts[li]
         return 0
 
     jax.lax.fori_loop(0, (count + _PACK - 1) // _PACK, loop, 0)
@@ -209,11 +217,16 @@ def rasterize_pallas(
 
     tile_data = _pack_tile_data(setup, bins.tri_ids, y0)
 
-    n_out = 2 if layers == 1 else 4
-    kernel = functools.partial(
-        _raster_kernel if layers == 1 else _raster_kernel2,
-        tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
-    )
+    n_out = 2 * layers
+    if layers == 1:
+        kernel = functools.partial(
+            _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
+        )
+    else:
+        kernel = functools.partial(
+            _raster_kernel_layers, layers=layers,
+            tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
+        )
     block = lambda: pl.BlockSpec(  # noqa: E731
         (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
         memory_space=pltpu.VMEM,
@@ -248,7 +261,10 @@ def rasterize_pallas(
     if layers == 1:
         zbuf, tid = outs
         return VisibilityBuffer(depth=u(zbuf), tri_id=u(tid))
-    z0b, t0b, z1b, t1b = outs
+    uz = [u(outs[2 * i]) for i in range(layers)]
+    ut = [u(outs[2 * i + 1]) for i in range(layers)]
     return VisibilityBuffer(
-        depth=u(z0b), tri_id=u(t0b), depth2=u(z1b), tri_id2=u(t1b)
+        depth=uz[0], tri_id=ut[0], depth2=uz[1], tri_id2=ut[1],
+        depth_rest=jnp.stack(uz[2:]) if layers > 2 else None,
+        tri_id_rest=jnp.stack(ut[2:]) if layers > 2 else None,
     )

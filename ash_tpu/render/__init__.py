@@ -5,7 +5,7 @@ from .frame import FrameConfig, FrameOutputs, FrameUniforms
 from .renderer import MsaaPreset, RenderCommand, Renderer, RendererConfig
 from .scene import DrawItem, SceneBuffers, build_scene
 from .shadow_map import ShadowConfig
-from .surface import HeadlessSurface, SurfaceProvider
+from .surface import FileStreamSurface, HeadlessSurface, SurfaceProvider
 from .temporal_aa import TaaConfig, TemporalAA
 
 __all__ = [
@@ -22,6 +22,7 @@ __all__ = [
     "SceneBuffers",
     "build_scene",
     "ShadowConfig",
+    "FileStreamSurface",
     "HeadlessSurface",
     "SurfaceProvider",
     "TaaConfig",

@@ -99,11 +99,14 @@ class FrameConfig:
     # pass uses the reference's fixed 0.1 threshold (shadow.frag:17-23).
     alpha_test: bool = False
     # Alpha BLENDING (semi-transparent materials, base_color_factor.a < 1):
-    # shade BOTH depth-peeled layers and composite with the reference's
-    # SRC_ALPHA blend (pipeline.rs:167-174). Two layers deep: one
-    # transparent surface over anything renders exactly; deeper stacks
-    # approximate. Subsumes alpha_test when both apply.
+    # shade ALL depth-peeled layers and composite with the reference's
+    # SRC_ALPHA blend (pipeline.rs:167-174). `transparency_layers` surfaces
+    # deep (order-independent: the peel sorts per pixel, unlike the
+    # reference's submission-order blending): K-1 transparent surfaces over
+    # anything render exactly; deeper stacks approximate. Subsumes
+    # alpha_test when both apply.
     alpha_blend: bool = False
+    transparency_layers: int = 2  # K in [2, 8]; cost ~K shades + K peel bufs
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
     clear_color: tuple = (0.0, 0.0, 0.0)
@@ -132,6 +135,12 @@ class FrameConfig:
     tonemap_operator: str = "aces"
     taa_enabled: bool = False
     fxaa_enabled: bool = False  # post-tonemap LDR pass (ops/fxaa.py)
+    # TAA upsampling (TAAU perf preset): raster + shade at render_scale x
+    # the presentation resolution (e.g. 0.75 -> 56% of the pixels), then
+    # bilinear-upsample and let the jittered TAA history accumulate detail
+    # back to full res. Requires post_enabled + taa_enabled; exclusive with
+    # SSAA; single-chip only (band mode asserts scale == 1).
+    render_scale: float = 1.0
     # Supersampling factors (MSAA equivalent: ordered-grid SSAA + box
     # resolve; reference msaa_targets.rs). Per-axis so sample counts match
     # the advertised MSAA presets exactly: x2 = (2,1) -> 2 samples,
@@ -205,6 +214,16 @@ def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
     c = jnp.clip(c, 0.0, 1.0)
     return jnp.where(
         c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+    )
+
+
+def internal_render_size(width: int, height: int, scale: float):
+    """TAAU internal raster resolution (even-rounded; >= 16 px)."""
+    if scale == 1.0:
+        return width, height
+    return (
+        max(2 * int(round(width * scale / 2)), 16),
+        max(2 * int(round(height * scale / 2)), 16),
     )
 
 
@@ -295,12 +314,23 @@ def render_band(
     """
     cfg = config
     sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
-    rw, rh = cfg.width * sx, cfg.height * sy
+    scale = float(cfg.render_scale)
+    if scale != 1.0:
+        if sx != 1 or sy != 1:
+            raise ValueError("render_scale is exclusive with SSAA")
+        if band is not None:
+            raise ValueError("render_scale requires single-chip mode")
+        if not (0.25 <= scale <= 1.0):
+            raise ValueError(f"render_scale {scale} outside [0.25, 1]")
+        # Internal (TAAU) resolution, even-rounded for clean tiling.
+        rw, rh = internal_render_size(cfg.width, cfg.height, scale)
+    else:
+        rw, rh = cfg.width * sx, cfg.height * sy
 
     if band is None:
         y0r = 0  # first render row of the band
         bhr = rh  # render rows in the band
-        bhp = cfg.height  # presentation rows in the band
+        bhp = cfg.height if scale == 1.0 else rh  # presentation rows
     else:
         bhp = band_rows(cfg, band.n)
         bhr = bhp * sy
@@ -460,7 +490,10 @@ def render_band(
     )
     vis = _raster(cfg)(
         setup, bins, bhr, rw, cfg.tile_h, cfg.tile_w, y0=y0r,
-        layers=2 if (alpha_main or blend) else 1,
+        layers=(
+            max(2, cfg.transparency_layers) if blend
+            else 2 if alpha_main else 1
+        ),
     )
     if alpha_main:
         from ..ops.shade import resolve_alpha_test
@@ -543,24 +576,30 @@ def render_band(
     else:
         color = run_shade(gbuf)
         if blend:
-            # Shade the second depth layer and composite front-over-back
-            # (ops/shade.composite_over; two-layer OIT approximation).
+            # Shade every depth-peeled layer and composite back-to-front
+            # (ops/shade.composite_over; K-layer OIT — the peel sorts per
+            # pixel so blend order is exact up to K surfaces deep).
             from ..ops.shade import composite_over, pixel_alpha
 
-            gbuf1 = interpolate_gbuffer(
-                vis.tri_id2,
-                setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
-                scene.color, y0=y0r, fb_height=rh, fb_width=rw,
-                vert_uid=scene.vert_uid,
-            )
-            color1 = run_shade(gbuf1)
             tex_pool = pool if cfg.textured else None
-            a0 = pixel_alpha(gbuf, scene.materials, tex_pool)
-            a1 = pixel_alpha(gbuf1, scene.materials, tex_pool)
+            layers = [(color, pixel_alpha(gbuf, scene.materials, tex_pool))]
+            for li in range(1, vis.num_layers):
+                _, tid_l = vis.layer(li)
+                gbuf_l = interpolate_gbuffer(
+                    tid_l,
+                    setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
+                    scene.color, y0=y0r, fb_height=rh, fb_width=rw,
+                    vert_uid=scene.vert_uid,
+                )
+                layers.append(
+                    (run_shade(gbuf_l),
+                     pixel_alpha(gbuf_l, scene.materials, tex_pool))
+                )
             clear = jnp.asarray(cfg.clear_color, jnp.float32)
-            back = composite_over(color1, a1, jnp.broadcast_to(
-                clear, color1.shape))
-            color = composite_over(color, a0, back)
+            out = jnp.broadcast_to(clear, layers[0][0].shape)
+            for color_l, a_l in reversed(layers):
+                out = composite_over(color_l, a_l, out)
+            color = out
 
     depth = vis.depth
     velocity = gbuf.velocity
@@ -605,7 +644,22 @@ def finalize_frame(
     convolutions cross band boundaries, so XLA's SPMD partitioner handles
     their halos instead of hand-written collectives."""
     cfg = config
-    color, velocity = bo.color, bo.velocity
+    color, velocity, depth = bo.color, bo.velocity, bo.depth
+    if cfg.render_scale != 1.0 and color.shape[0] != cfg.height:
+        # TAAU upsample: bilinear color/velocity to presentation res BEFORE
+        # the TAA blend — the jittered projection makes successive internal
+        # frames sample different sub-pixel positions, so the full-res
+        # history integrates real detail, not just interpolation.
+        color = jax.image.resize(
+            color, (cfg.height, cfg.width, 3), "bilinear"
+        )
+        if velocity is not None:
+            velocity = jax.image.resize(
+                velocity, (cfg.height, cfg.width, 2), "bilinear"
+            )
+        depth = jax.image.resize(
+            depth, (cfg.height, cfg.width), "nearest"
+        )
     new_history = None
     if cfg.post_enabled:
         # HDR post chain: TAA (pre-tonemap) -> bloom -> tonemap + gamma.
@@ -641,7 +695,7 @@ def finalize_frame(
     return FrameOutputs(
         image=image,
         color=color,
-        depth=bo.depth,
+        depth=depth,
         shadow_map=bo.shadow_map,
         covered_pixels=bo.covered,
         binning_overflow=bo.overflow,

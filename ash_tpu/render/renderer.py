@@ -107,6 +107,13 @@ class RendererConfig:
     compilation_cache_dir: Optional[str] = None
     # Anisotropic filtering taps (1 = trilinear; reference sampler: 16x).
     max_anisotropy: int = 1
+    # Depth-peel layers for alpha blending (K-1 exact transparent surfaces
+    # over anything; ~K x shading cost when a transparent draw exists).
+    transparency_layers: int = 2
+    # TAA upsampling perf preset: raster at render_scale x resolution and
+    # let jittered TAA accumulate back to full res (needs HDR + TAA on;
+    # see set_render_scale). 1.0 = native.
+    render_scale: float = 1.0
 
 
 @dataclasses.dataclass
@@ -192,6 +199,7 @@ class Renderer:
         self.fxaa_enabled = False
         self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
         self._taa_history = None
+        self._render_scale = float(config.render_scale)
         self.occlusion_culling = False
         self._prev_depth = None
         self._ibl = None
@@ -407,6 +415,12 @@ class Renderer:
             binning_coarse_cap=c.binning_coarse_cap,
             textured=textured,
             max_anisotropy=c.max_anisotropy,
+            transparency_layers=c.transparency_layers,
+            render_scale=(
+                self._render_scale
+                if self.hdr_enabled and self.temporal_aa.is_enabled()
+                else 1.0
+            ),
             shading=c.shading,
             clear_color=tuple(c.clear_color),
             post_enabled=self.hdr_enabled,
@@ -500,19 +514,29 @@ class Renderer:
         taa_params = None
         if self.hdr_enabled and self.temporal_aa.is_enabled():
             self.temporal_aa.begin_frame()
-            proj = self.temporal_aa.jitter_projection(
-                proj, self._width, self._height
+            # TAAU: jitter in INTERNAL-pixel units so sub-pixel coverage of
+            # the upscaled grid is uniform (standard TAA upsampling).
+            from .frame import internal_render_size
+
+            jw, jh = internal_render_size(
+                self._width, self._height, self._render_scale
             )
+            proj = self.temporal_aa.jitter_projection(proj, jw, jh)
             p = self.temporal_aa.params()
             from ..ops.taa import TaaParams
 
             first = self._taa_history is None
+            # Jitter is tracked in internal pixels; the resolve works in
+            # presentation pixels — rescale for the reprojection fallback.
+            j_scale = np.array(
+                [self._width / jw, self._height / jh], np.float32
+            )
             taa_params = TaaParams(
                 blend_factor=np.float32(0.0 if first else p["blend_factor"]),
                 color_clamp=p["color_clamp"],
                 velocity_rejection=p["velocity_rejection"],
-                jitter=p["jitter"],
-                prev_jitter=p["prev_jitter"],
+                jitter=p["jitter"] * j_scale,
+                prev_jitter=p["prev_jitter"] * j_scale,
             )
             if first:
                 self._taa_history = np.zeros(
@@ -886,6 +910,15 @@ class Renderer:
     def reset_taa_history(self) -> None:
         self.temporal_aa.reset_history()
         self._taa_history = None
+
+    def set_render_scale(self, scale: float) -> None:
+        """TAA upsampling: raster at `scale` x resolution, accumulate to
+        full res through the jittered TAA history (perf preset; active only
+        while HDR post + TAA are enabled). 1.0 = native."""
+        if not (0.25 <= scale <= 1.0):
+            raise ValueError(f"render_scale {scale} outside [0.25, 1]")
+        self._render_scale = float(scale)
+        self._taa_history = None  # stale detail at the old scale
 
     # ------------------------------------------------------------------
     # Introspection

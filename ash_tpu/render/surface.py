@@ -70,3 +70,91 @@ class HeadlessSurface:
         if frame is None:
             raise RuntimeError("no frame presented yet")
         write_png(path, frame)
+
+
+class FileStreamSurface:
+    """Display-seam sink: streams every presented frame out of the process.
+
+    The TPU analog of the reference's WindowSurfaceProvider
+    (src/vulkan/surface_provider.rs:26-67): where that hands frames to a
+    window system, this hands them to a file sink an external consumer can
+    watch — numbered PNGs (``pattern`` contains ``{n}``) or one appended raw
+    RGBA stream playable with e.g.
+    ``ffplay -f rawvideo -pixel_format rgba -video_size WxH file.rgba``.
+
+    Presentation pipelining: like a swapchain with ``max_frames_in_flight``
+    images, the frame presented at step N is written to disk at step N+1 —
+    the host readback overlaps the device rendering the next frame instead
+    of fencing it.
+    """
+
+    def __init__(self, width: int, height: int, pattern: str,
+                 max_frames_in_flight: int = 2):
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad surface extent {width}x{height}")
+        if max_frames_in_flight < 1:
+            raise ValueError("max_frames_in_flight must be >= 1")
+        self._size = (int(width), int(height))
+        self._pattern = pattern
+        try:  # PNG sequence iff the pattern has an {n...} placeholder
+            self._png = pattern.format(n=0) != pattern
+        except (KeyError, IndexError, ValueError):
+            raise ValueError(
+                f"bad pattern {pattern!r}: only {{n}} may appear"
+            ) from None
+        self._queue = []  # (frame_index, device_array) awaiting writeback
+        self._depth = int(max_frames_in_flight)
+        self._raw = None if self._png else open(pattern, "wb")
+        self._last = None
+        self.presented_frames = 0
+        self.written_frames = 0
+
+    def physical_size(self) -> Tuple[int, int]:
+        return self._size
+
+    def resize(self, width: int, height: int) -> None:
+        self.flush()
+        self._size = (int(width), int(height))
+
+    def present(self, frame) -> None:
+        self._last = frame
+        self._queue.append((self.presented_frames, frame))
+        self.presented_frames += 1
+        while len(self._queue) >= self._depth:
+            self._write_oldest()
+
+    def _write_oldest(self) -> None:
+        index, frame = self._queue.pop(0)
+        pixels = np.asarray(frame)  # blocks until the device frame is done
+        if self._png:
+            from ..utils.image import write_png
+
+            write_png(self._pattern.format(n=index), pixels)
+        else:
+            self._raw.write(pixels.tobytes())
+        self.written_frames += 1
+
+    def flush(self) -> None:
+        """Drain all in-flight frames to the sink (app exit / resize)."""
+        while self._queue:
+            self._write_oldest()
+        if self._raw is not None:
+            self._raw.flush()
+
+    def read_back(self) -> Optional[np.ndarray]:
+        if self._last is None:
+            return None
+        return np.asarray(self._last)
+
+    def close(self) -> None:
+        self.flush()
+        if self._raw is not None:
+            self._raw.close()
+            self._raw = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -33,13 +33,22 @@ from ash_tpu.render import (  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 SIZE = (192, 128)  # (W, H)
 
+# Overridden by the TPU parity gate (tools/tpu_parity.py) to re-render the
+# same scenes with use_pallas=True on the real chip.
+CONFIG_OVERRIDES = {}
+
+
+def _cfg(**kw):
+    kw.update(CONFIG_OVERRIDES)
+    return RendererConfig(**kw)
+
 
 def scene_cube_pbr():
     """02_cube config: red metallic cube + shadow map."""
     surface = HeadlessSurface(*SIZE)
     r = Renderer(
         surface,
-        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=32,
                        shadow_resolution=256, shadow_tile=64,
                        shadow_max_tris_per_tile=32, use_pallas=False),
     )
@@ -56,7 +65,7 @@ def scene_flat_cube():
     surface = HeadlessSurface(*SIZE)
     r = Renderer(
         surface,
-        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=32,
                        shadows_enabled=False, shading="flat",
                        use_pallas=False),
     )
@@ -71,7 +80,7 @@ def scene_full_frame():
     surface = HeadlessSurface(*SIZE)
     r = Renderer(
         surface,
-        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=64,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=64,
                        shadow_resolution=256, shadow_tile=64,
                        shadow_max_tris_per_tile=64, use_pallas=False),
     )
@@ -110,7 +119,7 @@ def scene_textured():
     surface = HeadlessSurface(*SIZE)
     r = Renderer(
         surface,
-        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=32,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=32,
                        shadows_enabled=False, use_pallas=False),
     )
     mesh = Mesh.create_named_cube("TexturedCube")
@@ -130,7 +139,7 @@ def scene_glass_and_lights():
     surface = HeadlessSurface(*SIZE)
     r = Renderer(
         surface,
-        RendererConfig(tile_h=8, tile_w=64, max_tris_per_tile=64,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=64,
                        shadows_enabled=False, use_pallas=False),
     )
     r.register_mesh_handle(0, Mesh.create_cube())
