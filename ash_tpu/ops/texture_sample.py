@@ -25,7 +25,7 @@ is 8. Gathers vectorize over all pixels at once.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,39 +37,78 @@ class TexturePool(NamedTuple):
     Texels are stored bfloat16: the sources are 8-bit sRGB images, so bf16's
     8-bit mantissa loses nothing that the source had, and it halves HBM
     footprint + gather bandwidth. Filtering happens in float32.
+
+    `min_level` implements MIP RESIDENCY for the streaming pool
+    (render/bindless.py): levels below a texture's min_level are not in
+    HBM, and sampling clamps its LOD up to the finest resident level. A
+    restream (changed residency) rewrites texel/table VALUES but never the
+    shapes, so frame programs are not re-traced.
     """
 
     texels: jnp.ndarray  # (TOTAL, 4) bfloat16 linear RGBA
     table: jnp.ndarray  # (N, MAX_MIPS, 3) int32: offset, width, height
     levels: jnp.ndarray  # (N,) int32 mip count
+    min_level: Optional[jnp.ndarray] = None  # (N,) int32 finest resident
 
     @property
     def num_textures(self) -> int:
         return int(self.table.shape[0])
 
 
-def build_pool(mip_pyramids: list[list[np.ndarray]]) -> TexturePool:
-    """Pack per-texture mip pyramids ((H,W,4) float32 each) into a pool."""
+def build_pool(
+    mip_pyramids: list[list[np.ndarray]],
+    min_levels: Optional[Sequence[int]] = None,
+    arena_texels: Optional[int] = None,
+) -> TexturePool:
+    """Pack per-texture mip pyramids ((H,W,4) float32 each) into a pool.
+
+    `min_levels[i]` (streaming residency) skips levels < it for texture i —
+    only resident mips occupy HBM. `arena_texels` pads/fixes the texel
+    array length so restreams keep a stable shape (no frame re-trace);
+    resident texels must fit or this raises.
+    """
     if not mip_pyramids:
         # Single white 1x1 placeholder so shapes stay static.
         mip_pyramids = [[np.ones((1, 1, 4), np.float32)]]
+    if min_levels is None:
+        min_levels = [0] * len(mip_pyramids)
     max_mips = max(len(p) for p in mip_pyramids)
     texel_rows = []
     table = np.zeros((len(mip_pyramids), max_mips, 3), np.int64)
     levels = np.zeros(len(mip_pyramids), np.int32)
+    mins = np.zeros(len(mip_pyramids), np.int32)
     offset = 0
     for ti, pyramid in enumerate(mip_pyramids):
         levels[ti] = len(pyramid)
+        lo = int(min(min_levels[ti], len(pyramid) - 1))
+        mins[ti] = lo
         for li, mip in enumerate(pyramid):
+            if li < lo:
+                continue  # non-resident: sampling clamps past it
             h, w = mip.shape[:2]
             table[ti, li] = (offset, w, h)
             texel_rows.append(mip.reshape(-1, 4).astype(np.float32))
             offset += h * w
+        # Defensive: point skipped levels at the finest resident mip.
+        for li in range(lo):
+            table[ti, li] = table[ti, lo]
     texels = np.concatenate(texel_rows, axis=0)
+    if arena_texels is not None:
+        if offset > arena_texels:
+            raise ValueError(
+                f"resident texels {offset} exceed arena {arena_texels}"
+            )
+        texels = np.concatenate(
+            [texels, np.zeros((arena_texels - offset, 4), np.float32)]
+        )
+    # Streaming pools (arena mode) ALWAYS carry min_level so the pytree
+    # structure — and therefore the jit cache key — is restream-invariant.
+    keep_min = arena_texels is not None or bool(np.any(mins > 0))
     return TexturePool(
         texels=jnp.asarray(texels, dtype=jnp.bfloat16),
         table=jnp.asarray(table.astype(np.int32)),
         levels=jnp.asarray(levels),
+        min_level=jnp.asarray(mins) if keep_min else None,
     )
 
 
@@ -117,7 +156,14 @@ def sample_trilinear(
     max_level = (pool.levels[safe_idx] - 1).astype(jnp.float32)
     if lod is None:
         lod = jnp.zeros_like(u)
-    lod = jnp.clip(lod, 0.0, max_level)
+    # Mip residency: LOD can't go finer than the finest RESIDENT level
+    # (streaming pool under an HBM budget — render/bindless.py).
+    floor_level = (
+        pool.min_level[safe_idx].astype(jnp.float32)
+        if pool.min_level is not None
+        else 0.0
+    )
+    lod = jnp.clip(lod, floor_level, max_level)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, pool.levels[safe_idx] - 1)
     f = (lod - l0.astype(jnp.float32))[..., None]

@@ -114,6 +114,12 @@ class RendererConfig:
     # let jittered TAA accumulate back to full res (needs HDR + TAA on;
     # see set_render_scale). 1.0 = native.
     render_scale: float = 1.0
+    # Streaming texture pool: HBM budget in bytes. When all registered mips
+    # exceed it, the finest mips of the largest textures go non-resident
+    # (sampling clamps to the finest resident level) and the texel arena is
+    # fixed at the budget — residency changes never re-trace the frame.
+    # None = everything resident. See BindlessTextureManager.
+    texture_budget_bytes: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -163,7 +169,9 @@ class Renderer:
         self.material_handles: Dict[int, Material] = {}
         self.draw_items: List[DrawItem] = []
 
-        self.bindless = BindlessTextureManager()
+        self.bindless = BindlessTextureManager(
+            budget_bytes=self.config.texture_budget_bytes
+        )
 
         # Single-mesh convenience path (reference seeds a default cube,
         # renderer.rs:678; we stay empty until set_mesh for a cheaper boot —
@@ -199,7 +207,7 @@ class Renderer:
         self.fxaa_enabled = False
         self.temporal_aa = TemporalAA(TaaConfig(enabled=False))
         self._taa_history = None
-        self._render_scale = float(config.render_scale)
+        self._render_scale = float(self.config.render_scale)
         self.occlusion_culling = False
         self._prev_depth = None
         self._ibl = None
@@ -910,6 +918,13 @@ class Renderer:
     def reset_taa_history(self) -> None:
         self.temporal_aa.reset_history()
         self._taa_history = None
+
+    def request_texture_residency(self, index: int, min_level: int) -> None:
+        """Streaming-pool feedback: ask for texture `index`'s mips down to
+        `min_level` to be HBM-resident (0 = full res). Under a
+        texture_budget_bytes the fit may demote other textures instead;
+        the restream rewrites pool VALUES only (no frame re-trace)."""
+        self.bindless.request_residency(index, min_level)
 
     def set_render_scale(self, scale: float) -> None:
         """TAA upsampling: raster at `scale` x resolution, accumulate to
