@@ -71,7 +71,9 @@ def irradiance_map(env: np.ndarray, out_h: int = 16) -> np.ndarray:
 
 
 def prefilter_environment(env: np.ndarray, mips: int = 5):
-    """Radiance pyramid: mip l ~ roughness l/(mips-1). Box-filter chain."""
+    """Radiance pyramid: mip l ~ roughness l/(mips-1). Box-filter chain
+    (cheap approximation; see prefilter_environment_ggx for the real GGX
+    convolution used by default)."""
     out = [env.astype(np.float32)]
     cur = env.astype(np.float32)
     for _ in range(1, mips):
@@ -82,12 +84,90 @@ def prefilter_environment(env: np.ndarray, mips: int = 5):
     return out
 
 
+def prefilter_environment_ggx(
+    env: np.ndarray, mips: int = 5, samples: int = 64
+):
+    """Importance-sampled GGX radiance pyramid (split-sum prefiltering).
+
+    Mip l is the environment convolved with the GGX lobe of
+    roughness l/(mips-1) under the standard N = V = R assumption:
+    for each output direction N, Hammersley-driven GGX half-vectors H
+    (a = roughness^2) produce light directions L = 2(N.H)H - N, and the
+    radiance average is NdotL-weighted (Karis split-sum prefiltering —
+    the exact counterpart of the reference's brdf_lut.frag sampling).
+    Build-time; vectorized over all texels x samples.
+    """
+    from .brdf_lut import _hammersley
+
+    base = jnp.asarray(env, jnp.float32)
+    h0, w0 = env.shape[:2]
+    flat = base.reshape(-1, 3)
+    out = [np.asarray(base)]
+
+    xi = _hammersley(samples)  # (S, 2)
+    phi = 2.0 * jnp.pi * xi[:, 0]  # (S,)
+
+    for level in range(1, mips):
+        rough = level / (mips - 1)
+        a = rough * rough
+        nh = max(h0 >> level, 4)
+        nw = max(w0 >> level, 8)
+        n = jnp.asarray(
+            _dirs_for_equirect(nh, nw).reshape(-1, 3)
+        )  # (P, 3)
+
+        # GGX half-vector samples in tangent space (P-independent).
+        cos_t = jnp.sqrt(
+            (1.0 - xi[:, 1]) / (1.0 + (a * a - 1.0) * xi[:, 1])
+        )  # (S,)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        ht = jnp.stack(
+            [jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], -1
+        )  # (S, 3)
+
+        # Per-direction tangent frame.
+        up = jnp.where(
+            (jnp.abs(n[:, 1]) < 0.999)[:, None],
+            jnp.asarray([0.0, 1.0, 0.0]),
+            jnp.asarray([1.0, 0.0, 0.0]),
+        )  # (P, 3)
+        t = jnp.cross(up, n)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+        b = jnp.cross(n, t)
+
+        # World half vectors (P, S, 3); V = N so L = 2(N.H)H - N.
+        hw = (
+            t[:, None] * ht[None, :, 0:1]
+            + b[:, None] * ht[None, :, 1:2]
+            + n[:, None] * ht[None, :, 2:3]
+        )
+        ndoth = jnp.sum(n[:, None] * hw, axis=-1, keepdims=True)
+        lw = 2.0 * ndoth * hw - n[:, None]  # (P, S, 3)
+        ndotl = jnp.maximum(
+            jnp.sum(n[:, None] * lw, axis=-1), 0.0
+        )  # (P, S)
+
+        u, v = _equirect_uv(lw)
+        radiance = _bilinear_flat(flat, 0, w0, h0, u, v)  # (P, S, 3)
+        wsum = jnp.maximum(jnp.sum(ndotl, axis=-1, keepdims=True), 1e-6)
+        color = jnp.sum(radiance * ndotl[..., None], axis=1) / wsum
+        out.append(np.asarray(color.reshape(nh, nw, 3), np.float32))
+    return out
+
+
 def build_environment(
     env: np.ndarray, mips: int = 5, irradiance_size: int = 16,
-    lut_size: int = 128,
+    lut_size: int = 128, ggx_prefilter: bool = True,
+    prefilter_samples: int = 64,
 ) -> EnvironmentIBL:
-    """Build the full device bundle from an equirect (H, W, 3) radiance."""
-    pyramid = prefilter_environment(env, mips)
+    """Build the full device bundle from an equirect (H, W, 3) radiance.
+
+    ggx_prefilter=True (default) convolves each mip with the actual GGX
+    lobe (importance-sampled); False uses the cheaper box-mip chain."""
+    if ggx_prefilter:
+        pyramid = prefilter_environment_ggx(env, mips, prefilter_samples)
+    else:
+        pyramid = prefilter_environment(env, mips)
     table = np.zeros((len(pyramid), 3), np.int64)
     off = 0
     for i, m in enumerate(pyramid):

@@ -97,3 +97,34 @@ def test_e2e_environment_lighting():
                        cam.position).color
     )
     np.testing.assert_allclose(back, flat, atol=1e-6)
+
+
+def test_ggx_prefilter_spreads_impulse():
+    """A single bright texel: the GGX convolution spreads its energy over
+    the lobe, so the peak direction dims much more than a box mip does,
+    and total (solid-angle-weighted) energy stays the same order."""
+    import numpy as np
+    from ash_tpu.ops.ibl import (
+        prefilter_environment,
+        prefilter_environment_ggx,
+    )
+
+    env = np.zeros((32, 64, 3), np.float32)
+    env[16, 16] = 100.0  # impulse near the equator
+    box = prefilter_environment(env, mips=4)
+    ggx = prefilter_environment_ggx(env, mips=4, samples=128)
+    assert len(ggx) == 4 and ggx[0].shape == env.shape
+    # Roughest mip: GGX peak is far below the box peak (energy spread).
+    assert ggx[3].max() < box[3].max() * 0.8, (ggx[3].max(), box[3].max())
+    # And energy did not vanish.
+    assert ggx[3].sum() > 0.01
+
+
+def test_ggx_prefilter_mip0_identity():
+    import numpy as np
+    from ash_tpu.ops.ibl import prefilter_environment_ggx
+
+    rng = np.random.default_rng(2)
+    env = rng.random((16, 32, 3)).astype(np.float32)
+    pyr = prefilter_environment_ggx(env, mips=3, samples=32)
+    assert np.allclose(pyr[0], env), "mip 0 is the unfiltered environment"
