@@ -31,6 +31,29 @@ def grid_shape(height: int, width: int, tile_h: int, tile_w: int):
     return (-(-height // tile_h), -(-width // tile_w))
 
 
+def _keep_rank(keep_score: jnp.ndarray) -> tuple:
+    """(rank, rank_to_id) for overflow prioritization.
+
+    rank[i] in [0, T): HIGHER rank = kept longer. Ties (equal score) give
+    the LOWER triangle id the higher rank, preserving draw-order semantics.
+    rank_to_id inverts the mapping for id recovery after top_k.
+    """
+    t = keep_score.shape[0]
+    ids = jnp.arange(t, dtype=jnp.int32)
+    # Sort ascending by (score, -id): the FIRST entries are dropped first.
+    order = jnp.lexsort((-ids, keep_score))  # (T,) tri id at each rank
+    rank = jnp.zeros(t, jnp.int32).at[order].set(ids)
+    return rank, order
+
+
+def _ascending_ids(tri_ids: jnp.ndarray) -> jnp.ndarray:
+    """Sort each tile's kept ids ascending with -1 padding at the end."""
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(tri_ids >= 0, tri_ids, big)
+    key = jnp.sort(key, axis=-1)
+    return jnp.where(key == big, -1, key)
+
+
 def bin_triangles(
     bbox: jnp.ndarray,  # (T, 4) fb-space [x0, y0, x1, y1]
     valid: jnp.ndarray,  # (T,) bool
@@ -40,6 +63,7 @@ def bin_triangles(
     tile_w: int,
     max_per_tile: int,
     y0=0,
+    keep_score=None,  # (T,) float32: on overflow keep HIGHEST scores
 ) -> TileBins:
     """Build per-tile triangle lists from conservative bbox/tile overlap.
 
@@ -47,6 +71,11 @@ def bin_triangles(
     by how much the worst tile exceeded `max_per_tile` (those triangles are
     dropped — callers surface this through diagnostics, see
     render_stats.CullingStats).
+
+    `keep_score` selects WHICH triangles a full tile drops: None keeps the
+    lowest draw ids (submission order); passing e.g. negated depth keeps the
+    NEAREST triangles, so drops are (almost always occluded) back surfaces
+    instead of arbitrary draws. Kept lists are ascending id either way.
 
     `y0`: global framebuffer row of this band's first tile row — bboxes stay
     in global coordinates, the grid covers [y0, y0 + height).
@@ -78,13 +107,22 @@ def bin_triangles(
     counts_full = jnp.sum(overlap, axis=1, dtype=jnp.int32)
     overflow = jnp.maximum(jnp.max(counts_full) - max_per_tile, 0)
 
-    # Compact: score overlapping triangles so that LOWER ids get HIGHER
-    # scores, take top-k -> ascending id order among the kept ones.
-    tri_iota = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, t), 1)
-    score = jnp.where(overlap, t - tri_iota, 0)
     k = min(max_per_tile, t)
-    top, _ = jax.lax.top_k(score, k)  # (num_tiles, k), descending score
-    tri_ids = jnp.where(top > 0, t - top, -1).astype(jnp.int32)
+    if keep_score is None:
+        # Score overlapping triangles so that LOWER ids get HIGHER scores,
+        # take top-k -> ascending id order among the kept ones.
+        tri_iota = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, t), 1)
+        score = jnp.where(overlap, t - tri_iota, 0)
+        top, _ = jax.lax.top_k(score, k)  # (num_tiles, k), descending
+        tri_ids = jnp.where(top > 0, t - top, -1).astype(jnp.int32)
+    else:
+        rank, rank_to_id = _keep_rank(keep_score)
+        score = jnp.where(overlap, rank[None, :] + 1, 0)
+        top, _ = jax.lax.top_k(score, k)
+        tri_ids = jnp.where(
+            top > 0, rank_to_id[jnp.maximum(top - 1, 0)], -1
+        ).astype(jnp.int32)
+        tri_ids = _ascending_ids(tri_ids)
     if k < max_per_tile:
         tri_ids = jnp.pad(
             tri_ids, ((0, 0), (0, max_per_tile - k)), constant_values=-1
@@ -104,6 +142,7 @@ def bin_triangles_two_level(
     y0=0,
     coarse_tiles: tuple = (4, 2),  # fine tiles per coarse tile (y, x)
     coarse_cap: int = 16384,
+    keep_score=None,  # (T,) f32: on overflow keep HIGHEST scores
 ) -> TileBins:
     """Coarse -> fine hierarchical binning for large triangle counts.
 
@@ -134,7 +173,7 @@ def bin_triangles_two_level(
     # --- Coarse pass: dense bin into (cy * cx) super-tiles.
     coarse = bin_triangles(
         bbox, valid, ty_p * tile_h, tx_p * tile_w,
-        tile_h * cy_f, tile_w * cx_f, kc, y0=y0,
+        tile_h * cy_f, tile_w * cx_f, kc, y0=y0, keep_score=keep_score,
     )
     cand = coarse.tri_ids.reshape(cy, cx, kc)  # ascending ids, -1 pad
 
@@ -162,17 +201,30 @@ def bin_triangles_two_level(
 
     counts_full = jnp.sum(overlap, axis=-1, dtype=jnp.int32)
     k = min(max_per_tile, kc)
-    # Keep the FIRST k candidates per fine tile (slots are already in
-    # ascending triangle id order from the coarse pass).
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 4)
-    score = jnp.where(overlap, kc - slot_iota, 0)
-    top, _ = jax.lax.top_k(score, k)  # descending score = ascending slot
-    slots = jnp.clip(kc - top, 0, kc - 1)
-    fine_ids = jnp.take_along_axis(
-        jnp.broadcast_to(cand[:, :, None, None, :], overlap.shape),
-        slots, axis=-1,
-    )[..., :k]
-    fine_ids = jnp.where(top > 0, fine_ids, -1).astype(jnp.int32)
+    if keep_score is None:
+        # Keep the FIRST k candidates per fine tile (slots are already in
+        # ascending triangle id order from the coarse pass).
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 4)
+        score = jnp.where(overlap, kc - slot_iota, 0)
+        top, _ = jax.lax.top_k(score, k)  # descending score = asc. slot
+        slots = jnp.clip(kc - top, 0, kc - 1)
+        fine_ids = jnp.take_along_axis(
+            jnp.broadcast_to(cand[:, :, None, None, :], overlap.shape),
+            slots, axis=-1,
+        )[..., :k]
+        fine_ids = jnp.where(top > 0, fine_ids, -1).astype(jnp.int32)
+    else:
+        # Keep the HIGHEST-score candidates (e.g. nearest-first drops).
+        rank, rank_to_id = _keep_rank(keep_score)
+        slot_rank = rank[jnp.maximum(cand, 0)]  # (cy, cx, kc)
+        score = jnp.where(
+            overlap, slot_rank[:, :, None, None, :] + 1, 0
+        )
+        top, _ = jax.lax.top_k(score, k)
+        fine_ids = jnp.where(
+            top > 0, rank_to_id[jnp.maximum(top - 1, 0)], -1
+        ).astype(jnp.int32)
+        fine_ids = _ascending_ids(fine_ids)
     if k < max_per_tile:
         fine_ids = jnp.pad(
             fine_ids,

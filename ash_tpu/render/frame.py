@@ -124,6 +124,11 @@ class FrameConfig:
     # Per-coarse-tile candidate cap for the two-level binner (drops beyond
     # it are reported via overflow like fine-tile drops).
     binning_coarse_cap: int = 16384
+    # What an overflowing tile drops: "draw_order" keeps the lowest draw
+    # ids (GPU submission semantics); "nearest" keeps the nearest
+    # triangles, so drops are (almost always occluded) back surfaces —
+    # the right choice for extreme-density scenes (e.g. >8 tris/pixel).
+    binning_policy: str = "draw_order"
     # HDR post chain (the reference's designed-but-unwired full frame:
     # SURVEY §3.2 "capability present, wiring absent" — wired here).
     # When enabled the main pass outputs linear HDR (reinhard is skipped),
@@ -243,6 +248,14 @@ def _binner(cfg: "FrameConfig", num_tris: int):
     return functools.partial(
         binning.bin_triangles_two_level, coarse_cap=cfg.binning_coarse_cap
     )
+
+
+def _keep_score(cfg: "FrameConfig", setup):
+    """Overflow priority for the binner (None = draw order). "nearest"
+    keeps the closest triangles when a tile exceeds its cap."""
+    if cfg.binning_policy != "nearest":
+        return None
+    return -jnp.min(setup.z_clip, axis=-1)
 
 
 class BandSpec(NamedTuple):
@@ -418,6 +431,7 @@ def render_band(
                 setup_s.bbox, setup_s.valid, s_band, s,
                 st_h, cfg.shadow_tile,
                 cfg.shadow_max_tris_per_tile, y0=sy0,
+                keep_score=_keep_score(cfg, setup_s),
             )
             vis_s = _raster(cfg)(
                 setup_s, bins_s, s_band, s, st_h, cfg.shadow_tile,
@@ -483,6 +497,7 @@ def render_band(
     bins = _binner(cfg, scene.tri_v.shape[0])(
         setup.bbox, setup.valid, bhr, rw,
         cfg.tile_h, cfg.tile_w, cfg.max_tris_per_tile, y0=y0r,
+        keep_score=_keep_score(cfg, setup),
     )
     blend = cfg.alpha_blend and cfg.shading == "pbr"
     alpha_main = (

@@ -81,6 +81,9 @@ class RendererConfig:
     # Binning: None = auto two-level for >32k-triangle scenes.
     two_level_binning: Optional[bool] = None
     binning_coarse_cap: int = 16384
+    # Tile-overflow drop policy: "draw_order" (submission order) or
+    # "nearest" (keep closest; drops become occluded back surfaces).
+    binning_policy: str = "draw_order"
     # LOD: in-jit screen-coverage level selection for meshes that carry
     # Mesh.add_lod chains (reference LodConfig, lod_system.rs:35-59).
     lod_enabled: bool = True
@@ -421,6 +424,7 @@ class Renderer:
             shadow_max_tris_per_tile=c.shadow_max_tris_per_tile,
             two_level_binning=c.two_level_binning,
             binning_coarse_cap=c.binning_coarse_cap,
+            binning_policy=c.binning_policy,
             textured=textured,
             max_anisotropy=c.max_anisotropy,
             transparency_layers=c.transparency_layers,

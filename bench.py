@@ -179,11 +179,25 @@ def main():
     try:
         stats = jax.devices()[0].memory_stats() or {}
         in_use = stats.get("bytes_in_use", 0)
-        print(
-            f"device memory in use: {in_use / 2**20:.1f} MiB "
-            f"(reference idle target < 200 MB)",
-            file=sys.stderr,
-        )
+        if in_use:
+            print(
+                f"device memory in use: {in_use / 2**20:.1f} MiB "
+                f"(reference idle target < 200 MB)",
+                file=sys.stderr,
+            )
+        else:
+            # memory_stats() is unsupported on the tunneled-TPU plugin —
+            # report PERSISTENT buffer bytes from the live registries
+            # instead (scene SoA + texture pool + TAA history; transient
+            # frame intermediates are XLA-managed and not counted).
+            live = r._device_bytes_in_use()
+            print(
+                f"device memory: plugin reports no stats; live persistent "
+                f"buffers = {live / 2**20:.1f} MiB "
+                f"(reference idle target < 200 MB; excludes XLA-managed "
+                f"frame intermediates)",
+                file=sys.stderr,
+            )
     except Exception:
         pass
     if args.save:

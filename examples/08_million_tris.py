@@ -58,10 +58,15 @@ def main():
     assert mesh.num_triangles >= 1_000_000
 
     surface = HeadlessSurface(1920, 1080)
+    # At ~1.2 tris/pixel the silhouette stacks tens of thousands of
+    # sub-pixel triangles into single tiles — beyond any practical cap.
+    # binning_policy="nearest" makes the overflow drop the FARTHEST
+    # triangles, so the caps bound memory without visible holes.
     r = Renderer(
         surface,
         RendererConfig(max_tris_per_tile=8192,
-                       shadow_max_tris_per_tile=8192),
+                       shadow_max_tris_per_tile=8192,
+                       binning_policy="nearest"),
     )
     t0 = time.perf_counter()
     r.set_mesh(mesh)

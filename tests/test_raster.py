@@ -237,3 +237,67 @@ def test_two_level_binning_coarse_overflow_reported():
         coarse_cap=16,
     )
     assert int(two.overflow) >= t - 16
+
+
+def test_binning_nearest_policy_keeps_closest():
+    """cap 2, three stacked triangles: 'nearest' keeps the two closest
+    (regardless of draw id), output still ascending id."""
+    bbox = np.tile(np.array([[1.0, 1.0, 3.0, 3.0]], np.float32), (3, 1))
+    valid = np.ones(3, bool)
+    # id 0 farthest, id 2 nearest.
+    keep = jnp.asarray(-np.array([0.9, 0.5, 0.1], np.float32))
+    for fn in (
+        binning.bin_triangles,
+        lambda *a, **k: binning.bin_triangles_two_level(
+            *a, coarse_cap=3, **k
+        ),
+    ):
+        bins = fn(jnp.asarray(bbox), jnp.asarray(valid), 16, 32, 16, 32, 2,
+                  keep_score=keep)
+        ids = np.asarray(bins.tri_ids)[0]
+        assert list(ids[:2]) == [1, 2], ids  # nearest two, ascending
+        assert int(bins.overflow) == 1
+        assert int(np.asarray(bins.counts)[0]) == 2
+
+
+def test_binning_nearest_policy_no_overflow_matches_draw_order():
+    """Without overflow the nearest policy returns identical bins."""
+    rng = np.random.default_rng(11)
+    t = 150
+    x0 = rng.random(t) * 100
+    y0 = rng.random(t) * 80
+    bbox = np.stack(
+        [x0, y0, x0 + rng.random(t) * 30, y0 + rng.random(t) * 20], axis=1
+    ).astype(np.float32)
+    valid = rng.random(t) > 0.3
+    keep = jnp.asarray(-rng.random(t).astype(np.float32))
+    a = binning.bin_triangles(
+        jnp.asarray(bbox), jnp.asarray(valid), 96, 128, 16, 32, t
+    )
+    b = binning.bin_triangles(
+        jnp.asarray(bbox), jnp.asarray(valid), 96, 128, 16, 32, t,
+        keep_score=keep,
+    )
+    np.testing.assert_array_equal(np.asarray(a.tri_ids), np.asarray(b.tri_ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+
+
+def test_nearest_policy_full_frame_renders():
+    """End-to-end with binning_policy='nearest' on a tight cap: the cube
+    still renders (front faces win) and drops are reported."""
+    from ash_tpu import Material
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=4,
+                       shadows_enabled=False, binning_policy="nearest"),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.set_material(Material(color=(0.9, 0.2, 0.2, 1.0)))
+    cam = Camera.new([0, 0, 4], [0, 0, 0], 1.0)
+    out = r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                         cam.position)
+    img = np.asarray(out.color)
+    assert img[32, 32, 0] > 0.05  # front face survived the tight cap
