@@ -169,12 +169,38 @@ def scene_glass_and_lights():
     return surface
 
 
+def scene_k_layer_stack():
+    """Three half-transparent panes over an opaque floor through the
+    4-layer depth peel (K-layer OIT; locks transparency_layers > 2)."""
+    surface = HeadlessSurface(*SIZE)
+    r = Renderer(
+        surface,
+        _cfg(tile_h=8, tile_w=64, max_tris_per_tile=32,
+             shadows_enabled=False, transparency_layers=4,
+             use_pallas=False),
+    )
+    r.register_mesh_handle(0, Mesh.create_plane("pane", size=1.6))
+    colors = [(1, 0.2, 0.2, 0.45), (0.2, 1, 0.2, 0.45),
+              (0.2, 0.2, 1, 0.45), (0.9, 0.9, 0.9, 1.0)]
+    commands = []
+    for i, col in enumerate(colors):
+        r.register_material_handle(i + 1, Material(color=col, roughness=0.5))
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0.15 * i - 0.2, 1.5 - 0.5 * i, 0]
+        commands.append(RenderCommand(mesh=0, transform=m, material=i + 1))
+    r.submit_render_commands(commands)
+    cam = Camera.new([0.6, 4.6, 0.9], [0, 0.2, 0], SIZE[0] / SIZE[1])
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    return surface
+
+
 SCENES = {
     "cube_pbr": scene_cube_pbr,
     "flat_cube": scene_flat_cube,
     "full_frame": scene_full_frame,
     "textured": scene_textured,
     "glass_and_lights": scene_glass_and_lights,
+    "k_layer_stack": scene_k_layer_stack,
 }
 
 
