@@ -58,7 +58,14 @@ __all__ = [
 
 def __getattr__(name):
     # Renderer imports jax; keep `import ash_tpu` light for pure-math users.
-    if name in ("Renderer", "RendererConfig", "HeadlessSurface", "RenderCommand"):
+    if name in (
+        "Renderer",
+        "RendererConfig",
+        "HeadlessSurface",
+        "FileStreamSurface",
+        "RenderCommand",
+        "SurfaceProvider",
+    ):
         from . import render
 
         return getattr(render, name)

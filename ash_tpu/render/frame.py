@@ -326,6 +326,13 @@ def render_band(
     (y0), the shadow-map all_gather, and psum/pmax of the scalars.
     """
     cfg = config
+    if not (2 <= cfg.transparency_layers <= 8):
+        raise ValueError(
+            f"transparency_layers {cfg.transparency_layers} outside [2, 8] "
+            "(each layer is a VMEM-resident depth+id buffer pair)"
+        )
+    if cfg.binning_policy not in ("draw_order", "nearest"):
+        raise ValueError(f"unknown binning_policy {cfg.binning_policy!r}")
     sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
     scale = float(cfg.render_scale)
     if scale != 1.0:

@@ -1,0 +1,106 @@
+"""Frame-parallel SPMD: each device renders a different frame; results
+must pixel-match sequential single-chip renders of the same uniforms."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ash_tpu.parallel import batch_uniforms, make_frame_parallel
+from ash_tpu.render.frame import FrameConfig, render_frame_program
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__) or ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import __graft_entry__ as graft
+from jax.sharding import Mesh
+
+
+def _config(**kw):
+    base = dict(
+        width=96, height=64, tile_h=8, tile_w=32, max_tris_per_tile=32,
+        shadow_resolution=64, shadow_tile=32, shadow_max_tris_per_tile=32,
+        textured=True, lights_enabled=True, post_enabled=True,
+        bloom_mips=2, reinhard=False,
+    )
+    base.update(kw)
+    return FrameConfig(**base)
+
+
+def _uniforms_for_angle(theta, scene_uni):
+    """Rotate the example camera around Y by theta."""
+    import numpy as np
+    from ash_tpu.core.transform import Camera
+
+    pos = np.array(
+        [6.0 * np.cos(theta), 4.0, 6.0 * np.sin(theta)], np.float32
+    )
+    cam = Camera.new(pos, [0, 0, 0], 96 / 64)
+    view, proj = cam.view_matrix(), cam.projection_matrix()
+    return scene_uni._replace(
+        view_proj=(proj @ view).astype(np.float32),
+        camera_pos=pos,
+        view=view.astype(np.float32),
+        projection=proj.astype(np.float32),
+    )
+
+
+def test_frame_parallel_matches_sequential():
+    n = 4
+    mesh = Mesh(jax.devices()[:n], ("fp",))
+    cfg = _config()
+    scene, uni0, extras = graft._example_scene(rich=True)
+    lights = np.asarray(extras["lights"], np.float32)
+
+    unis = [_uniforms_for_angle(0.5 * i, uni0) for i in range(n)]
+    batch = batch_uniforms([jax.tree.map(np.asarray, u) for u in unis])
+    lights_b = np.tile(lights[None], (n, 1, 1))
+
+    frames = make_frame_parallel(cfg, mesh)
+    out = frames(scene, batch, pool=extras["pool"], lights=lights_b)
+    assert out.image.shape == (n, 64, 96, 4)
+
+    import jax.numpy as jnp
+
+    # Jit the sequential reference too: the frame-parallel path runs under
+    # jit, and eager-vs-jit XLA fusion can differ by 1 ULP pre-quantization.
+    ref_fn = jax.jit(
+        lambda u, p, l: render_frame_program(
+            cfg, scene, u, p, None, None, None, l, None, None
+        )
+    )
+    for i in range(n):
+        ref = ref_fn(
+            jax.tree.map(jnp.asarray, unis[i]), extras["pool"],
+            jnp.asarray(lights),
+        )
+        a = np.asarray(out.image[i]).astype(np.int16)
+        b = np.asarray(ref.image).astype(np.int16)
+        diff = np.abs(a - b)
+        # Exact where possible; tolerate <=1 quantization LSB on a vanishing
+        # fraction of pixels (XLA schedules the shard_mapped program
+        # differently from the plain jitted one).
+        assert diff.max() <= 1, f"frame {i}: max u8 diff {diff.max()}"
+        frac = float((diff > 0).mean())
+        assert frac < 1e-3, f"frame {i}: {frac:.2%} pixels off by 1 LSB"
+        assert int(out.covered_pixels[i]) == int(ref.covered_pixels)
+
+
+def test_frame_parallel_rejects_taa():
+    mesh = Mesh(jax.devices()[:2], ("fp",))
+    with pytest.raises(ValueError, match="TAA"):
+        make_frame_parallel(_config(taa_enabled=True), mesh)
+
+
+def test_frame_parallel_batch_size_check():
+    n = 2
+    mesh = Mesh(jax.devices()[:n], ("fp",))
+    cfg = _config(textured=False, lights_enabled=False, post_enabled=False)
+    scene, uni0 = graft._example_scene()
+    batch = batch_uniforms(
+        [jax.tree.map(np.asarray, uni0) for _ in range(3)]  # wrong: 3 != 2
+    )
+    frames = make_frame_parallel(cfg, mesh)
+    with pytest.raises(ValueError, match="frames"):
+        frames(scene, batch)
