@@ -10,10 +10,20 @@ DeviceProfiler/GpuTimings for the overlay and console.
 Scope names follow the reference: FrameStart..ShadowEnd..SceneEnd..
 PostProcessEnd (gpu_profiler.rs named scopes).
 
-Caveat: each scope pays one dispatch round-trip; on a remotely-tunneled chip
-that fixed overhead (~5 ms) can exceed the pass itself, so treat numbers as
-upper bounds there (the fused frame is the ground truth for totals). On
-directly-attached hardware the overhead is tens of microseconds.
+Dispatch overhead is amortized: each stage runs `n` times inside ONE jitted
+lax.fori_loop, with a tiny output-derived scalar threaded between
+iterations so XLA cannot overlap or hoist them. The single dispatch
+round-trip (the ~5-10 ms tunnel floor on a remote chip) is thus divided by
+`n` (default 64), giving stable numbers even through the tunnel — the
+software analog of writing both timestamps of a query-pool scope inside
+the same submission.
+
+Caveat (measured): the fori_loop harness pessimizes absolute numbers by a
+roughly constant factor (~3-4x at 1080p — no cross-stage fusion, loop
+barriers, layout constraints; even the FULL frame program measures ~7.6 ms
+per in-loop iteration vs ~2 ms fused). Treat the values as RELATIVE
+weights/upper bounds; bench.py prints them normalized to the fused frame
+time, which is the ground truth for totals.
 """
 
 from __future__ import annotations
@@ -25,18 +35,38 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args, n=3) -> tuple:
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+def _time(fn, n=64) -> tuple:
+    """Time `fn(eps)` (eps: f32 scalar mixed into the stage input) over n
+    sequential in-graph iterations; returns (ms_per_iteration, output)."""
+
+    def run(eps):
+        def body(_, carry):
+            out = fn(carry)
+            leaf = jax.tree.leaves(out)[0]
+            # Output -> next-input dependency XLA cannot simplify away;
+            # value is 0.0 (or subnormal) so the stage's numerics are
+            # untouched.
+            return jnp.minimum(
+                jnp.float32(0.0),
+                leaf.ravel()[0].astype(jnp.float32) * jnp.float32(1e-38),
+            )
+        # The final fn() call (whose output the caller keeps) takes the
+        # loop's carry, so all n+1 evaluations are provably sequential.
+        eps2 = jax.lax.fori_loop(0, n, body, eps)
+        return eps2, fn(eps2)
+
+    f = jax.jit(run)
+    zero = jnp.float32(0.0)
+    out = f(zero)
+    jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000.0, out
+    jax.block_until_ready(f(zero)[0])
+    total = time.perf_counter() - t0
+    # The trailing fn(eps) runs once more to produce `out`; count it.
+    return total / (n + 1) * 1000.0, out[1]
 
 
-def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, float]:
+def profile_passes(renderer, view, proj, camera_pos, n: int = 64) -> Dict[str, float]:
     """Measure each frame stage on the device; returns ms per scope and
     stores them on the renderer's DeviceProfiler."""
     import numpy as np
@@ -63,9 +93,9 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
     timings: Dict[str, float] = {}
 
     t, tv = _time(
-        lambda: geometry.transform_vertices(
-            models, view_proj, scene.position, scene.normal, scene.tangent,
-            scene.vert_draw, vert_uid=scene.vert_uid,
+        lambda eps: geometry.transform_vertices(
+            models + eps, view_proj, scene.position, scene.normal,
+            scene.tangent, scene.vert_draw, vert_uid=scene.vert_uid,
         ), n=n,
     )
     timings["Vertex"] = t
@@ -83,12 +113,18 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
             else min(cfg.shadow_tile, 32)
         )
         lsm = jnp.asarray(renderer.shadow_feature.light_space_matrix())
-        world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
-        clip_l = jnp.einsum("ij,vj->vi", lsm, world4)
+        # Jitted (NOT eager): eager dispatch on the tunneled backend is both
+        # slow and a risk to the process's pipelined-dispatch mode.
+        clip_l = jax.jit(
+            lambda w, m: jnp.einsum(
+                "ij,vj->vi", m,
+                jnp.concatenate([w, jnp.ones_like(w[:, :1])], -1),
+            )
+        )(tv.world, lsm)
 
-        def shadow_pass():
+        def shadow_pass(eps):
             setup_s = geometry.triangle_setup(
-                clip_l, scene.tri_v, scene.tri_valid, s, s, "front"
+                clip_l + eps, scene.tri_v, scene.tri_valid, s, s, "front"
             )
             bins_s = binner(
                 setup_s.bbox, setup_s.valid, s, s, st_h,
@@ -102,26 +138,30 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
 
     w, h = cfg.width, cfg.height
     t, setup = _time(
-        lambda: geometry.triangle_setup(
-            tv.clip, scene.tri_v, scene.tri_valid, w, h, "back"
+        lambda eps: geometry.triangle_setup(
+            tv.clip + eps, scene.tri_v, scene.tri_valid, w, h, "back"
         ), n=n,
     )
     timings["Setup"] = t
     t, bins = _time(
-        lambda: binner(
-            setup.bbox, setup.valid, h, w, cfg.tile_h, cfg.tile_w,
+        lambda eps: binner(
+            setup.bbox + eps, setup.valid, h, w, cfg.tile_h, cfg.tile_w,
             cfg.max_tris_per_tile,
         ), n=n,
     )
     timings["Binning"] = t
     t, vis = _time(
-        lambda: rast(setup, bins, h, w, cfg.tile_h, cfg.tile_w), n=n
+        lambda eps: rast(
+            setup._replace(edge=setup.edge + eps), bins, h, w,
+            cfg.tile_h, cfg.tile_w,
+        ), n=n,
     )
     timings["Raster"] = t
     t, gbuf = _time(
-        lambda: interpolate_gbuffer(
-            vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
-            scene.color, vert_uid=scene.vert_uid,
+        lambda eps: interpolate_gbuffer(
+            vis.tri_id, setup._replace(edge=setup.edge + eps), scene.tri_v,
+            scene.tri_draw, tv, scene.uv, scene.color,
+            vert_uid=scene.vert_uid,
         ), n=n,
     )
     timings["GBuffer"] = t
@@ -136,7 +176,9 @@ def profile_passes(renderer, view, proj, camera_pos, n: int = 3) -> Dict[str, fl
         ),
     )
     t, _ = _time(
-        lambda: shade_pbr(gbuf, scene.materials, su, shadow_map, None), n=n
+        lambda eps: shade_pbr(
+            gbuf, scene.materials + eps, su, shadow_map, None
+        ), n=n,
     )
     timings["SceneEnd"] = t
 

@@ -669,13 +669,18 @@ class Renderer:
         """Refresh diagnostics state (reference update_diagnostics,
         renderer.rs:2242-2265)."""
         # Surface binning overflow loudly: dropped triangles mean visible
-        # holes (main pass) or light leaks (shadow pass). The readback is
-        # DEFERRED: stash the device scalars now, read them ~60 frames later
-        # when the values are long since computed. Reading eagerly here was
-        # the round-1 regression — a device->host sync near first execution
-        # poisons the TPU plugin's async dispatch ~300x for every later
-        # frame (bisected in VERDICT.md; do not "simplify" this back).
-        if self._overflow_probe is None:
+        # holes (main pass) or light leaks (shadow pass). Gated on
+        # diagnostics mode AND deferred 60 frames, because on the tunneled
+        # TPU backend ANY device->host readback (even of a long-computed
+        # scalar, even async-copied) permanently drops the plugin out of
+        # pipelined dispatch into per-execution sync (~550 ms RTT/frame,
+        # measured; the round-1 regression was this). With diagnostics OFF
+        # (the default) the render loop performs NO readbacks at all; when
+        # the user opts into console diagnostics they accept that cost on
+        # tunneled backends (directly-attached TPUs read back in ~us).
+        if not self.diagnostics_state.mode.console_enabled:
+            pass
+        elif self._overflow_probe is None:
             if self._last_outputs is not None and self.frame_count % 60 == 1:
                 self._overflow_probe = (
                     self.frame_count,
@@ -795,7 +800,7 @@ class Renderer:
             stats.objects_per_lod[i] = int(((sel == i) & live).sum())
         return stats
 
-    def profile_passes(self, view, proj, camera_pos, n: int = 3):
+    def profile_passes(self, view, proj, camera_pos, n: int = 64):
         """Per-pass device timings (the GpuProfiler readout; see
         render/pass_profiler.py). Serializes the pipeline — use on demand."""
         from .pass_profiler import profile_passes

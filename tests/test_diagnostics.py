@@ -139,3 +139,37 @@ def test_e2e_overlay_on_frame():
     # Diagnostics were updated.
     assert r.diagnostics().frame_stats.draw_calls == 1
     assert r.diagnostics().memory_stats.gpu_used_bytes > 0
+
+
+def test_overflow_readback_gated_on_console_mode(caplog):
+    """With diagnostics OFF (default) the render loop must perform ZERO
+    device->host readbacks (on the tunneled TPU backend the first readback
+    permanently drops the process out of pipelined dispatch, ~300x); with
+    console diagnostics on, the overflow warning fires."""
+    import logging
+
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    def build():
+        r = Renderer(
+            HeadlessSurface(32, 32),
+            RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=4,
+                           shadows_enabled=False),
+        )
+        r.set_mesh(Mesh.create_cube())  # all front tris in one tile > cap 4
+        cam = Camera.new([1.5, 1.2, 4.0], [0, 0, 0], 1.0)  # 3 faces visible
+        return r, cam.view_matrix(), cam.projection_matrix(), cam.position
+
+    r, view, proj, pos = build()
+    for _ in range(130):
+        r.render_frame(view, proj, pos)
+    assert r._overflow_probe is None  # OFF => never even stashed
+
+    r, view, proj, pos = build()
+    r.set_diagnostics_mode(DiagnosticsMode.CONSOLE_ONLY)
+    with caplog.at_level(logging.WARNING, logger="ash_tpu.renderer"):
+        for _ in range(130):
+            r.render_frame(view, proj, pos)
+    assert any("binning overflow" in m for m in caplog.messages)
