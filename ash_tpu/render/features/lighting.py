@@ -65,6 +65,10 @@ class LightingFeature(RenderFeature):
         self.point_lights: List[PointLight] = []
 
         self.spot_lights: List[SpotLight] = []
+        # Bumped on every add/clear so the renderer can cache the packed
+        # GPU light array across frames (host-side packing of a large
+        # light set costs real per-frame milliseconds otherwise).
+        self.version = 0
 
     def add_point_light(self, light: PointLight) -> int:
         if len(self.point_lights) >= self.config.max_point_lights:
@@ -72,12 +76,15 @@ class LightingFeature(RenderFeature):
                 f"max {self.config.max_point_lights} point lights"
             )
         self.point_lights.append(light)
+        self.version += 1
         return len(self.point_lights) - 1
 
     def add_spot_light(self, light: SpotLight) -> int:
         self.spot_lights.append(light)
+        self.version += 1
         return len(self.spot_lights) - 1
 
     def clear_point_lights(self) -> None:
         self.point_lights.clear()
         self.spot_lights.clear()
+        self.version += 1

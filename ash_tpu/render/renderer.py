@@ -244,6 +244,12 @@ class Renderer:
         # device->host sync on the TPU plugin degrades every subsequent
         # frame ~300x (round-1 regression, VERDICT weak #1).
         self._overflow_probe: Optional[tuple] = None
+        # Host-side per-frame caches (invalidated on scene edits — see
+        # render_frame): stacked model matrices, per-draw material flag
+        # scans, and the packed Forward+ light array.
+        self._models_cache: Optional[np.ndarray] = None
+        self._material_flags: Optional[tuple] = None
+        self._lights_cache: Optional[tuple] = None
         self.frame_count = 0
         self._start_time = time.perf_counter()
         self._last_frame_time = self._start_time
@@ -492,6 +498,8 @@ class Renderer:
         ):
             self._scene = build_scene(items, self.mesh_registry)
             self._scene_dirty = False
+            self._models_cache = None
+            self._material_flags = None
             self._single_mat_row = (
                 items[0].packed_material() if self._single_mesh_key else None
             )
@@ -556,7 +564,19 @@ class Renderer:
                 )
 
         light_dir = FRAME_LIGHT_DIR / np.linalg.norm(FRAME_LIGHT_DIR)
-        models = build_models(items, self._scene.buffers.num_draws)
+        # Per-draw model matrices: transforms are captured at
+        # submit_render_commands time, so for the multi-draw path the
+        # stacked array is invariant until the next scene edit — cache it
+        # (np.stack over 1000 draws costs ~1 ms/frame of host time). The
+        # single-mesh path rebuilds (features may spin self.transform).
+        if self.draw_items:
+            if self._models_cache is None:
+                self._models_cache = build_models(
+                    items, self._scene.buffers.num_draws
+                )
+            models = self._models_cache
+        else:
+            models = build_models(items, self._scene.buffers.num_draws)
 
         cascade_matrices = cascade_splits = None
         if self.csm_manager is not None and self.config.shadows_enabled:
@@ -595,34 +615,54 @@ class Renderer:
 
         # Forward+ lights from the lighting feature (packed, padded to a
         # power-of-two bucket so the frame function shape is stable).
-        lights = None
-        gpu_lights = [
-            GpuLight.from_point_light(pl)
-            for pl in self.lighting_feature.point_lights
-        ] + [
-            GpuLight.from_spot_light(sl)
-            for sl in self.lighting_feature.spot_lights
-        ]
-        if gpu_lights:
-            n = len(gpu_lights)
-            pad = 8
-            while pad < n:
-                pad *= 2
-            lights = np.zeros((pad, 16), np.float32)
-            for i, gl in enumerate(gpu_lights):
-                lights[i] = gl.flat()
+        # Cached across frames — the feature bumps `version` on add/clear,
+        # so a static light set packs once, not per frame.
+        if (
+            self._lights_cache is None
+            or self._lights_cache[0] != self.lighting_feature.version
+        ):
+            lights = None
+            gpu_lights = [
+                GpuLight.from_point_light(pl)
+                for pl in self.lighting_feature.point_lights
+            ] + [
+                GpuLight.from_spot_light(sl)
+                for sl in self.lighting_feature.spot_lights
+            ]
+            if gpu_lights:
+                n = len(gpu_lights)
+                pad = 8
+                while pad < n:
+                    pad *= 2
+                lights = np.zeros((pad, 16), np.float32)
+                for i, gl in enumerate(gpu_lights):
+                    lights[i] = gl.flat()
+            self._lights_cache = (self.lighting_feature.version, lights)
+        lights = self._lights_cache[1]
 
         pool = self.bindless.pool()
-        has_alpha_test = pool is not None and any(
-            it.material.alpha_cutoff > 0.0 for it in items
-        )
+        # Per-draw material scans, cached with the scene for the multi-draw
+        # path (scanning 1000 items costs ~0.5 ms/frame of host time);
+        # the single-mesh path recomputes (material_mut edits land without
+        # a scene rebuild, and one item is free to scan).
+        if self.draw_items:
+            if self._material_flags is None:
+                self._material_flags = (
+                    any(it.material.alpha_cutoff > 0.0 for it in items),
+                    any(
+                        float(it.material.base_color_factor[3]) < 1.0
+                        for it in items
+                    ),
+                )
+            any_cutoff, has_blend = self._material_flags
+        else:
+            any_cutoff = items[0].material.alpha_cutoff > 0.0
+            has_blend = float(items[0].material.base_color_factor[3]) < 1.0
+        has_alpha_test = pool is not None and any_cutoff
         # Semi-transparent draws (base alpha < 1) switch on two-layer
         # blending — the reference keeps SRC_ALPHA blending always on
         # (pipeline.rs:167-174); we enable the (2x shading cost) path only
         # when a transparent material exists.
-        has_blend = any(
-            float(it.material.base_color_factor[3]) < 1.0 for it in items
-        )
         config = dataclasses.replace(
             self._frame_config(textured=pool is not None),
             lights_enabled=lights is not None,

@@ -47,3 +47,50 @@ def test_lazy_prelude_exports():
         assert getattr(ash_tpu, name) is not None
     with pytest.raises(AttributeError):
         ash_tpu.NotAThing
+
+
+def test_host_caches_invalidate_on_scene_and_light_edits():
+    """Round-2 host caches (stacked models / material flags / packed
+    lights) must never serve stale data after submit_render_commands or
+    light edits."""
+    import numpy as np
+
+    from ash_tpu import Material, Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import (
+        HeadlessSurface, RenderCommand, Renderer, RendererConfig,
+    )
+
+    r = Renderer(
+        HeadlessSurface(48, 48),
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.register_mesh_handle(0, Mesh.create_cube())
+    r.register_material_handle(1, Material(color=(1, 0, 0, 1)))
+    cam = Camera.new([0, 0, 4], [0, 0, 0], 1.0)
+    v, p = cam.view_matrix(), cam.projection_matrix()
+
+    def submit(x):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = x
+        r.submit_render_commands(
+            [RenderCommand(mesh=0, transform=m, material=1)]
+        )
+
+    submit(0.0)
+    a = np.asarray(r.render_frame(v, p, cam.position).image)
+    a2 = np.asarray(r.render_frame(v, p, cam.position).image)
+    np.testing.assert_array_equal(a, a2)  # cached path is deterministic
+    submit(1.2)  # moved -> models cache must refresh
+    b = np.asarray(r.render_frame(v, p, cam.position).image)
+    assert not np.array_equal(a, b), "stale model-matrix cache"
+
+    c0 = np.asarray(r.render_frame(v, p, cam.position).image)
+    r.add_point_light([0.5, 1.0, 2.0], color=[0, 1, 0], intensity=5.0,
+                      radius=8.0)
+    c1 = np.asarray(r.render_frame(v, p, cam.position).image)
+    assert not np.array_equal(c0, c1), "stale packed-light cache"
+    r.clear_point_lights()
+    c2 = np.asarray(r.render_frame(v, p, cam.position).image)
+    np.testing.assert_array_equal(c0, c2)
