@@ -571,8 +571,13 @@ class Renderer:
         # single-mesh path rebuilds (features may spin self.transform).
         if self.draw_items:
             if self._models_cache is None:
-                self._models_cache = build_models(
-                    items, self._scene.buffers.num_draws
+                import jax.numpy as jnp
+
+                # Device-resident: uploaded once per scene edit, not per
+                # frame (the jit boundary would otherwise re-stage the
+                # host array every call).
+                self._models_cache = jnp.asarray(
+                    build_models(items, self._scene.buffers.num_draws)
                 )
             models = self._models_cache
         else:
