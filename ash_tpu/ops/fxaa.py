@@ -7,11 +7,17 @@ absolute + relative contrast thresholds, then a blend toward the 3x3
 tent-filtered neighborhood proportional to sub-pixel contrast, clamped by
 edge orientation. Runs after tonemap/gamma (LDR), matching standard FXAA
 placement.
+
+TPU layout note: planar internally (per-channel (H, W) planes, shifts as
+edge-padded static slices) — gather-based shifts and channel-axis
+reductions on (H, W, 3) cost milliseconds at 1080p (see ops/bloom.py).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from .layout import to_cf, to_cl
 
 LUMA = jnp.asarray([0.299, 0.587, 0.114])
 
@@ -21,25 +27,24 @@ SUBPIX_STRENGTH = 0.75
 
 
 def _shift(img, dy, dx):
-    """Edge-clamped neighbor fetch."""
+    """Edge-clamped neighbor fetch of an (H, W) plane — static slices."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    pt, pb = max(-dy, 0), max(dy, 0)
+    pl, pr = max(-dx, 0), max(dx, 0)
+    p = jnp.pad(img, ((pt, pb), (pl, pr)), mode="edge")
+    return p[pb:pb + h, pr:pr + w]
 
 
 def fxaa(color: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 3) LDR in, antialiased (H, W, 3) out."""
-    luma = jnp.einsum("hwc,c->hw", color, LUMA)
+    cf = to_cf(color)
+    r, g, b = cf[0], cf[1], cf[2]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
 
     l_n = _shift(luma, -1, 0)
     l_s = _shift(luma, 1, 0)
     l_e = _shift(luma, 0, 1)
     l_w = _shift(luma, 0, -1)
-    l_ne = _shift(luma, -1, 1)
-    l_nw = _shift(luma, -1, -1)
-    l_se = _shift(luma, 1, 1)
-    l_sw = _shift(luma, 1, -1)
 
     l_min = jnp.minimum(
         luma, jnp.minimum(jnp.minimum(l_n, l_s), jnp.minimum(l_e, l_w))
@@ -58,15 +63,17 @@ def fxaa(color: jnp.ndarray) -> jnp.ndarray:
     blend = jnp.clip(range_l / jnp.maximum(contrast, 1e-6), 0.0, 1.0)
     blend = (blend * blend) * SUBPIX_STRENGTH
 
-    # 3x3 tent-filtered color (the "blurred" candidate).
-    def t(img):
-        c = img * 4.0
-        c = c + (_shift(img, -1, 0) + _shift(img, 1, 0)
-                 + _shift(img, 0, 1) + _shift(img, 0, -1)) * 2.0
-        c = c + (_shift(img, -1, -1) + _shift(img, -1, 1)
-                 + _shift(img, 1, -1) + _shift(img, 1, 1))
+    # 3x3 tent-filtered color (the "blurred" candidate), per plane.
+    def t(p):
+        c = p * 4.0
+        c = c + (_shift(p, -1, 0) + _shift(p, 1, 0)
+                 + _shift(p, 0, 1) + _shift(p, 0, -1)) * 2.0
+        c = c + (_shift(p, -1, -1) + _shift(p, -1, 1)
+                 + _shift(p, 1, -1) + _shift(p, 1, 1))
         return c / 16.0
 
-    blurred = t(color)
-    amount = jnp.where(is_edge, blend, 0.0)[..., None]
-    return color * (1.0 - amount) + blurred * amount
+    amount = jnp.where(is_edge, blend, 0.0)
+    planes = [
+        p * (1.0 - amount) + t(p) * amount for p in (r, g, b)
+    ]
+    return to_cl(jnp.stack(planes, axis=0))

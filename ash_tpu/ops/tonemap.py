@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .layout import to_cf, to_cl
+
 
 def aces(x: jnp.ndarray) -> jnp.ndarray:
     """ACES filmic fit (tonemapping.frag:19-27)."""
@@ -53,9 +55,13 @@ def tonemap_compose(
     hdr += bloom * intensity; *= exposure; tonemap; pow(1/gamma)."""
     if operator not in _OPERATORS:
         raise ValueError(f"unknown tonemap operator {operator!r}")
-    x = hdr
+    # Channels-first internally: XLA's layout for an (H, W, 3) compute
+    # chain puts C on the 128-lane axis (42x waste) — measured 5 ms for
+    # this composite at 1080p vs ~0.1 ms as (3, H, W). Ops are per-channel
+    # elementwise, so only the layout changes.
+    x = to_cf(hdr)
     if bloom is not None:
-        x = x + bloom * bloom_intensity
+        x = x + to_cf(bloom) * bloom_intensity
     x = x * exposure
     ldr = _OPERATORS[operator](x)
-    return jnp.power(jnp.maximum(ldr, 0.0), 1.0 / gamma)
+    return to_cl(jnp.power(jnp.maximum(ldr, 0.0), 1.0 / gamma))

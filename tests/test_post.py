@@ -189,3 +189,84 @@ def test_msaa_x2_anisotropic_path():
     out = r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
     assert surface.read_back().shape == (48, 48, 4)
     assert out.depth.shape == (48, 48)
+
+
+def test_bloom_fast_paths_match_gather_reference():
+    """The even-size static-slice fast paths must match the generic
+    gather-based sampling (which remains the odd-size fallback)."""
+    import numpy as np
+
+    from ash_tpu.ops.bloom import (
+        _target_uv,
+        bilinear_clamp,
+        downsample_karis,
+        shift_clamp,
+        upsample_tent,
+        LUMA,
+    )
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.random((64, 96, 3), np.float32) * 3.0)
+
+    # Generic (gather) downsample, lifted verbatim from the fallback path.
+    h, w = src.shape[:2]
+    dh, dw = h // 2, w // 2
+    u, v = _target_uv(dh, dw)
+    dx, dy = 1.0 / w, 1.0 / h
+    offsets_weights = [
+        ((0, 0), 0.25),
+        ((-1, -1), 0.0625), ((1, -1), 0.0625),
+        ((-1, 1), 0.0625), ((1, 1), 0.0625),
+        ((-1, 0), 0.125), ((1, 0), 0.125),
+        ((0, -1), 0.125), ((0, 1), 0.125),
+    ]
+    acc = jnp.zeros((dh, dw, 3), jnp.float32)
+    wsum = jnp.zeros((dh, dw, 1), jnp.float32)
+    for (ox, oy), wgt in offsets_weights:
+        s = bilinear_clamp(src, u + ox * dx, v + oy * dy)
+        kw = 1.0 / (1.0 + jnp.sum(s * LUMA, axis=-1, keepdims=True))
+        acc = acc + s * (kw * wgt)
+        wsum = wsum + kw * wgt
+    ref_down = acc / wsum
+    np.testing.assert_allclose(
+        np.asarray(downsample_karis(src)), np.asarray(ref_down),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    # Generic (gather) tent upsample vs the 2x fast path.
+    half = downsample_karis(src)
+    hh, hw = half.shape[:2]
+    uu, vv = _target_uv(2 * hh, 2 * hw)
+    ddx, ddy = 0.5 / hw, 0.5 / hh
+    ref_up = bilinear_clamp(half, uu, vv) * 4.0
+    ref_up = ref_up + (
+        bilinear_clamp(half, uu - ddx, vv - ddy)
+        + bilinear_clamp(half, uu + ddx, vv - ddy)
+        + bilinear_clamp(half, uu + ddx, vv + ddy)
+        + bilinear_clamp(half, uu - ddx, vv + ddy)
+    ) * 2.0
+    ref_up = ref_up + (
+        bilinear_clamp(half, uu - 2 * ddx, vv)
+        + bilinear_clamp(half, uu + 2 * ddx, vv)
+        + bilinear_clamp(half, uu, vv - 2 * ddy)
+        + bilinear_clamp(half, uu, vv + 2 * ddy)
+    )
+    ref_up = ref_up / 16.0
+    np.testing.assert_allclose(
+        np.asarray(upsample_tent(half, 2 * hh, 2 * hw)),
+        np.asarray(ref_up), rtol=2e-5, atol=2e-5,
+    )
+
+    # shift_clamp == clipped-index shift.
+    a = np.asarray(src)
+    for oy, ox in ((-1, 0), (1, 1), (0, -1), (2, -2)):
+        yy = np.clip(np.arange(64) + oy, 0, 63)
+        xx = np.clip(np.arange(96) + ox, 0, 95)
+        np.testing.assert_array_equal(
+            np.asarray(shift_clamp(src, oy, ox)), a[yy][:, xx]
+        )
+
+    # Odd sizes still route through the generic path and produce shapes.
+    odd = jnp.asarray(rng.random((33, 47, 3), np.float32))
+    assert downsample_karis(odd).shape == (16, 23, 3)
+    assert upsample_tent(odd, 66, 94).shape == (66, 94, 3)
