@@ -86,6 +86,13 @@ class FileStreamSurface:
     images, the frame presented at step N is written to disk at step N+1 —
     the host readback overlaps the device rendering the next frame instead
     of fencing it.
+
+    Tunneled-backend caveat: on a remotely tunneled chip the FIRST
+    device->host readback permanently drops the JAX process out of
+    pipelined dispatch (~550 ms/frame; ROADMAP.md "Tunnel dispatch
+    pathology"), so a per-frame file sink there runs at sync-dispatch
+    speed regardless of pipelining. On directly-attached TPU (readback
+    ~us) the overlap works as designed.
     """
 
     def __init__(self, width: int, height: int, pattern: str,
