@@ -454,24 +454,27 @@ def render_band(
                     scene.materials, scene.uv, pool, cutoff_override=0.1,
                     y0=sy0, vert_uid=scene.vert_uid,
                 )
-            d = vis_s.depth
+            return vis_s.depth, bins_s.overflow
+
+        def gather_map(d, axis=0):
             if band is not None:
                 # Every device needs the whole map for PCF -> one tiled
-                # all_gather riding ICI per cascade per frame.
-                d = jax.lax.all_gather(d, band.axis, axis=0, tiled=True)
-            return d, bins_s.overflow
+                # all_gather riding ICI per frame.
+                d = jax.lax.all_gather(d, band.axis, axis=axis, tiled=True)
+            return d
 
         if cfg.shadow_cascades > 1:
-            per_cascade = [
-                depth_only(uni.cascade_matrices[c])
-                for c in range(cfg.shadow_cascades)
-            ]
-            shadow_map = jnp.stack([d for d, _ in per_cascade])  # (C, S, S)
-            shadow_overflow = jnp.max(
-                jnp.stack([o for _, o in per_cascade])
+            # One vmapped trace over the cascade axis instead of a Python
+            # unroll: C x smaller program (compile time) and XLA/Mosaic see
+            # one batched raster (the pallas grid gains a cascade dim).
+            ds, ofs = jax.vmap(depth_only)(
+                uni.cascade_matrices[: cfg.shadow_cascades]
             )
+            shadow_map = gather_map(ds, axis=1)  # (C, S, S)
+            shadow_overflow = jnp.max(ofs)
         else:
-            shadow_map, shadow_overflow = depth_only(uni.light_space_matrix)
+            d, shadow_overflow = depth_only(uni.light_space_matrix)
+            shadow_map = gather_map(d)
 
     # GPU-driven per-draw culling: mask whole draws' triangles out before
     # binning (the TPU form of the indirect-draw compaction in
