@@ -94,3 +94,26 @@ def test_host_caches_invalidate_on_scene_and_light_edits():
     r.clear_point_lights()
     c2 = np.asarray(r.render_frame(v, p, cam.position).image)
     np.testing.assert_array_equal(c0, c2)
+
+
+def test_non_tile_aligned_resolutions():
+    """Resolutions that are not multiples of the raster tile must render
+    with exact output shapes (partial tiles are padded internally)."""
+    import numpy as np
+
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    for w, h in ((333, 217), (97, 64)):
+        r = Renderer(
+            HeadlessSurface(w, h),
+            RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                           shadows_enabled=False),
+        )
+        r.set_mesh(Mesh.create_cube())
+        cam = Camera.new([0, 0, 4], [0, 0, 0], w / h)
+        out = r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                             cam.position)
+        assert np.asarray(out.image).shape == (h, w, 4)
+        assert int(out.covered_pixels) > 100
