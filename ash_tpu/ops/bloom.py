@@ -116,7 +116,10 @@ def _down_tap_cf(src: jnp.ndarray, oy: int, ox: int) -> jnp.ndarray:
     c = sh(oy + 2, ox + 1)
     d = sh(oy + 2, ox + 2)
     m = (a * 0.5 + b * 0.5) * 0.5 + (c * 0.5 + d * 0.5) * 0.5
-    return m.reshape(ch, h // 2, 2, w // 2, 2)[:, :, 0, :, 0]
+    # Stride-2 parity decimation: same runtime as the reshape-select form
+    # but ~20x cheaper to COMPILE (the split-dims reshape at e.g.
+    # (3, 540, 960) cost 15 s of XLA compile per tap-site, both backends).
+    return m[:, ::2, ::2]
 
 
 # Per-parity (x0 shift, fx) of a 2x-upsample axis lerp, by tap offset in
