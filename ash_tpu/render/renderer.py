@@ -606,14 +606,28 @@ class Renderer:
             projection=proj,
             cascade_matrices=cascade_matrices,
             cascade_splits=cascade_splits,
+            # On the first TAA frame (or after a draw-count change) the
+            # CURRENT matrices stand in as "previous": zero velocity —
+            # correct for a fresh history, and it keeps the frame program's
+            # argument structure identical across frames, so cold start
+            # traces/compiles ONE program instead of two.
             prev_view_proj=(
-                self._prev_view_proj if taa_params is not None else None
+                (
+                    self._prev_view_proj
+                    if self._prev_view_proj is not None
+                    else unjittered_view_proj
+                )
+                if taa_params is not None
+                else None
             ),
             prev_models=(
-                self._prev_models
+                (
+                    self._prev_models
+                    if self._prev_models is not None
+                    and self._prev_models.shape == models.shape
+                    else models
+                )
                 if taa_params is not None
-                and self._prev_models is not None
-                and self._prev_models.shape == models.shape
                 else None
             ),
         )
