@@ -697,11 +697,22 @@ class Renderer:
             bloom_threshold=np.float32(self.bloom_threshold),
             bloom_soft_knee=np.float32(0.5),
         )
+        prev_depth = None
+        if self.occlusion_culling:
+            # Frame 1 uses a far-plane depth (everything passes the Hi-Z
+            # test — correct: nothing is known occluded yet) so the frame
+            # program's argument structure matches steady state and cold
+            # start traces/compiles one program, not two.
+            prev_depth = (
+                self._prev_depth
+                if self._prev_depth is not None
+                else np.ones((self._height, self._width), np.float32)
+            )
         outputs = frame_fn(
             self._scene.buffers, uni, pool, post, taa_params,
             self._taa_history if taa_params is not None else None,
             lights,
-            self._prev_depth if self.occlusion_culling else None,
+            prev_depth,
             self._ibl,
         )
         if outputs.history is not None:
