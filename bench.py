@@ -261,7 +261,12 @@ def main():
             os.path.join(os.path.dirname(__file__) or ".", "PERF_BUDGET.json")
         ) as f:
             budget = json.load(f)
-        key = "min_fps_small" if args.small else "min_fps_1080p"
+        if args.small:
+            key = "min_fps_small"
+        elif args.rich:
+            key = "min_fps_1080p_rich"
+        else:
+            key = "min_fps_1080p"
         min_fps = budget[key]
         if fps < min_fps:
             print(
