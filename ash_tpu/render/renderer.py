@@ -559,8 +559,14 @@ class Renderer:
                 prev_jitter=p["prev_jitter"] * j_scale,
             )
             if first:
-                self._taa_history = np.zeros(
-                    (self._height, self._width, 3), np.float32
+                # Device array (not numpy): jax keys its trace cache on
+                # argument placement, so a host-array stand-in on frame 1
+                # would still cost a second trace against the committed
+                # device history of later frames.
+                import jax.numpy as jnp
+
+                self._taa_history = jnp.zeros(
+                    (self._height, self._width, 3), jnp.float32
                 )
 
         light_dir = FRAME_LIGHT_DIR / np.linalg.norm(FRAME_LIGHT_DIR)
@@ -703,11 +709,16 @@ class Renderer:
             # test — correct: nothing is known occluded yet) so the frame
             # program's argument structure matches steady state and cold
             # start traces/compiles one program, not two.
-            prev_depth = (
-                self._prev_depth
-                if self._prev_depth is not None
-                else np.ones((self._height, self._width), np.float32)
-            )
+            if self._prev_depth is not None:
+                prev_depth = self._prev_depth
+            else:
+                import jax.numpy as jnp
+
+                # Device array for the same trace-cache placement reason
+                # as the TAA history stand-in above.
+                prev_depth = jnp.ones(
+                    (self._height, self._width), jnp.float32
+                )
         outputs = frame_fn(
             self._scene.buffers, uni, pool, post, taa_params,
             self._taa_history if taa_params is not None else None,

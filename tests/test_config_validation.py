@@ -117,3 +117,42 @@ def test_non_tile_aligned_resolutions():
                              cam.position)
         assert np.asarray(out.image).shape == (h, w, 4)
         assert int(out.covered_pixels) > 100
+
+
+def test_single_trace_cold_start_taa_and_occlusion():
+    """Frame 1 must not use a different frame-program argument structure
+    than steady state: with TAA + occlusion culling enabled, exactly ONE
+    trace of the jitted frame program happens across frames 1..3 (the
+    round-2 cold-start fix — a second trace cost ~23 s on the rich
+    config)."""
+    from ash_tpu import Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+
+    r = Renderer(
+        HeadlessSurface(64, 48),
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadow_resolution=64, shadow_tile=32,
+                       shadow_max_tris_per_tile=32),
+    )
+    r.set_mesh(Mesh.create_cube())
+    r.initialize_hdr()
+    r.set_taa_enabled(True)
+    r.set_occlusion_culling(True)
+    cam = Camera.new([0, 0, 4], [0, 0, 0], 64 / 48)
+    jitted = []
+
+    orig = r._compiled_frame
+
+    def wrapper(config):
+        fn = orig(config)
+        jitted.append(fn)
+        return fn
+
+    r._compiled_frame = wrapper
+    for _ in range(3):
+        r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                       cam.position)
+    assert len(set(map(id, jitted))) == 1, "config changed between frames"
+    traces = jitted[0]._cache_size()
+    assert traces == 1, f"frame program traced {traces}x (want 1)"
