@@ -140,6 +140,10 @@ def main():
         from ash_tpu.render.csm import CsmConfig
 
         overrides["csm"] = CsmConfig(cascade_count=3, resolution=1024)
+        # The nearest cascade concentrates the scene into fewer texels
+        # than the single 2048^2 map: give its tiles more slots so no
+        # shadow triangles drop (observed overflow 127 at the 256 cap).
+        overrides.setdefault("shadow_max_tris_per_tile", 512)
         args.lights = args.lights or 32
     r, surface, cam = build_bench_renderer(width, height, n_obj, **overrides)
     if args.rich:
