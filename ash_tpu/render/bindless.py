@@ -55,6 +55,10 @@ class BindlessTextureManager:
         self._pool: Optional[TexturePool] = None
         self._dirty = True
         self.restream_count = 0
+        # Monotonic content version: bumped whenever pool VALUES may change
+        # (new texture, residency restream). Consumed by caches that sample
+        # the pool (e.g. the renderer's alpha-tested shadow-map cache).
+        self.version = 0
 
     def __len__(self) -> int:
         return len(self._pyramids)
@@ -70,6 +74,7 @@ class BindlessTextureManager:
         self._requested.append(0)
         self._prio.append(0)
         self._dirty = True
+        self.version += 1
         return idx
 
     def request_residency(self, index: int, min_level: int) -> None:
@@ -82,6 +87,7 @@ class BindlessTextureManager:
         self._prio_counter += 1
         self._prio[index] = self._prio_counter
         self._dirty = True
+        self.version += 1
 
     # -- residency planning -------------------------------------------------
 

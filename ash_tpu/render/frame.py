@@ -174,6 +174,13 @@ class FrameConfig:
     # (needs Mesh.add_lod chains; scene.tri_lod / lod_thresholds).
     lod_enabled: bool = False
     lod_cull_threshold: float = 0.001  # reference lod_system.rs:56
+    # Diagnostics taint (overlay mode): when binning dropped triangles this
+    # frame, paint an 8x8 corner block IN-JIT — magenta for main-pass drops,
+    # cyan for shadow drops. Device-side visibility with ZERO readbacks (a
+    # host readback of the overflow scalar would drop tunneled TPU backends
+    # out of pipelined dispatch; the reference surfaces drops via validation
+    # layers).
+    overflow_taint: bool = False
 
 
 class PostParams(NamedTuple):
@@ -267,6 +274,137 @@ class BandSpec(NamedTuple):
     n: int
 
 
+def shadow_world4(scene: SceneBuffers, models: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous world positions for the shadow stage.
+
+    Bit-identical to the world transform inside
+    geometry.transform_vertices (same gathers, same einsum, same
+    precision flags) so a shadow map rendered by the standalone shadow
+    program matches one rendered inside the fused frame exactly —
+    required for the renderer's shadow cache to be invisible."""
+    m = models[scene.vert_draw]
+    pos = scene.position[scene.vert_uid]
+    world = (
+        jnp.einsum("vij,vj->vi", m[:, :3, :3], pos,
+                   precision="highest", preferred_element_type=jnp.float32)
+        + m[:, :3, 3]
+    )
+    return jnp.concatenate([world, jnp.ones_like(world[:, :1])], -1)
+
+
+def render_shadow(
+    config: FrameConfig,
+    scene: SceneBuffers,
+    world4: jnp.ndarray,  # (Ve, 4) homogeneous world positions
+    tri_valid: jnp.ndarray,  # (Te,) bool (padding + LOD mask)
+    light_space_matrix: jnp.ndarray,  # (4, 4)
+    cascade_matrices: Optional[jnp.ndarray] = None,  # (C, 4, 4)
+    pool: Optional[TexturePool] = None,
+    band: Optional["BandSpec"] = None,
+):
+    """The shadow pass: depth-only raster of the scene from the light
+    (reference shadow pipeline, renderer.rs:660 + shadow.frag), single map
+    or CSM cascades. Factored out of render_band so the renderer can run it
+    as its OWN program and cache the resulting map across frames when
+    (models, light matrix, scene) are unchanged — the TPU analog of simply
+    not re-recording a shadow pass for a static scene.
+
+    Returns (shadow_map, shadow_overflow)."""
+    cfg = config
+    s = cfg.shadow_resolution
+    st_h = (
+        cfg.shadow_tile_h
+        if cfg.shadow_tile_h is not None
+        else min(cfg.shadow_tile, 32)
+    )
+    if band is not None:
+        if s % (band.n * st_h) != 0:
+            raise ValueError(
+                f"shadow_resolution {s} must divide into {band.n} bands"
+                f" of {st_h}-row tiles"
+            )
+        s_band = s // band.n
+        sy0 = jax.lax.axis_index(band.axis) * s_band
+    else:
+        s_band, sy0 = s, 0
+
+    alpha_shadow = cfg.alpha_test and cfg.textured and pool is not None
+
+    def depth_only(light_matrix):
+        clip_l = jnp.einsum(
+            "ij,vj->vi", light_matrix, world4,
+            preferred_element_type=jnp.float32,
+        )
+        setup_s = geometry.triangle_setup(
+            clip_l, scene.tri_v, tri_valid, s, s, cull_mode="front"
+        )
+        bins_s = _binner(cfg, scene.tri_v.shape[0])(
+            setup_s.bbox, setup_s.valid, s_band, s,
+            st_h, cfg.shadow_tile,
+            cfg.shadow_max_tris_per_tile, y0=sy0,
+            keep_score=_keep_score(cfg, setup_s),
+        )
+        vis_s = _raster(cfg)(
+            setup_s, bins_s, s_band, s, st_h, cfg.shadow_tile,
+            y0=sy0, layers=2 if alpha_shadow else 1,
+        )
+        if alpha_shadow:
+            # Foliage alpha discard in the shadow pass
+            # (shadow.frag:17-23: alpha < 0.1 casts no shadow).
+            from ..ops.shade import resolve_alpha_test
+
+            vis_s = resolve_alpha_test(
+                vis_s, setup_s, scene.tri_v, scene.tri_draw,
+                scene.materials, scene.uv, pool, cutoff_override=0.1,
+                y0=sy0, vert_uid=scene.vert_uid,
+            )
+        return vis_s.depth, bins_s.overflow
+
+    def gather_map(d, axis=0):
+        if band is not None:
+            # Every device needs the whole map for PCF -> one tiled
+            # all_gather riding ICI per frame.
+            d = jax.lax.all_gather(d, band.axis, axis=axis, tiled=True)
+        return d
+
+    if cfg.shadow_cascades > 1:
+        # One vmapped trace over the cascade axis instead of a Python
+        # unroll: C x smaller program (compile time) and XLA/Mosaic see
+        # one batched raster (the pallas grid gains a cascade dim).
+        ds, ofs = jax.vmap(depth_only)(
+            cascade_matrices[: cfg.shadow_cascades]
+        )
+        return gather_map(ds, axis=1), jnp.max(ofs)  # (C, S, S)
+    d, overflow = depth_only(light_space_matrix)
+    return gather_map(d), overflow
+
+
+def shadow_program(
+    config: FrameConfig,
+    scene: SceneBuffers,
+    models: jnp.ndarray,  # (D, 4, 4)
+    light_space_matrix: jnp.ndarray,  # (4, 4)
+    cascade_matrices: Optional[jnp.ndarray] = None,
+    pool: Optional[TexturePool] = None,
+):
+    """Standalone shadow pass (no LOD — callers with LOD chains render
+    shadows inside the fused frame where the selection mask lives).
+    The renderer caches this program's outputs keyed on (scene epoch,
+    models epoch, light matrix bytes); a static scene then pays zero
+    shadow cost per frame."""
+    world4 = shadow_world4(scene, models)
+    return render_shadow(
+        config, scene, world4, scene.tri_valid, light_space_matrix,
+        cascade_matrices, pool,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_shadow(config: FrameConfig):
+    """Jitted standalone shadow program for a config."""
+    return jax.jit(functools.partial(shadow_program, config))
+
+
 class BandOutputs(NamedTuple):
     """Everything the raster+shade stage produces for (a band of) the frame.
 
@@ -315,6 +453,7 @@ def render_band(
     prev_depth: Optional[jnp.ndarray] = None,  # (H, W) last frame, resolved
     ibl=None,  # ops/ibl.EnvironmentIBL
     band: Optional[BandSpec] = None,
+    ext_shadow: Optional[tuple] = None,  # (shadow_map, shadow_overflow)
 ) -> BandOutputs:
     """Vertex transform -> shadows -> culling -> raster -> shade -> SSAA
     resolve, for the full frame (band=None) or this device's band of rows.
@@ -380,10 +519,10 @@ def render_band(
         clip_c = jnp.einsum("ij,dj->di", uni.view_proj, cw)
         wc = clip_c[:, 3]
         # World radius: local bound radius x the model's largest axis scale.
-        scale = jnp.max(
+        axis_scale = jnp.max(
             jnp.linalg.norm(uni.models[:, :3, :3], axis=2), axis=-1
         )
-        radius = jnp.linalg.norm(scene.draw_extents, axis=-1) * scale
+        radius = jnp.linalg.norm(scene.draw_extents, axis=-1) * axis_scale
         px_r = radius / jnp.maximum(wc, 1e-8) * (
             0.5 * max(cfg.width, cfg.height)
         )
@@ -406,75 +545,20 @@ def render_band(
     shadow_map = None
     shadow_overflow = None
     if cfg.shadow_enabled:
-        s = cfg.shadow_resolution
-        st_h = (
-            cfg.shadow_tile_h
-            if cfg.shadow_tile_h is not None
-            else min(cfg.shadow_tile, 32)
-        )
-        if band is not None:
-            if s % (band.n * st_h) != 0:
-                raise ValueError(
-                    f"shadow_resolution {s} must divide into {band.n} bands"
-                    f" of {st_h}-row tiles"
-                )
-            s_band = s // band.n
-            sy0 = idx * s_band
+        if ext_shadow is not None:
+            # Shadow map rendered by the standalone shadow program (and
+            # possibly cached from an earlier frame — see
+            # Renderer._shadow_key). Zero shadow work in this program.
+            shadow_map, shadow_overflow = ext_shadow
         else:
-            s_band, sy0 = s, 0
-        world4 = jnp.concatenate([tv.world, jnp.ones_like(tv.world[:, :1])], -1)
-
-        alpha_shadow = cfg.alpha_test and cfg.textured and pool is not None
-
-        def depth_only(light_matrix):
-            clip_l = jnp.einsum(
-                "ij,vj->vi", light_matrix, world4,
-                preferred_element_type=jnp.float32,
+            world4 = jnp.concatenate(
+                [tv.world, jnp.ones_like(tv.world[:, :1])], -1
             )
-            setup_s = geometry.triangle_setup(
-                clip_l, scene.tri_v, base_tri_valid, s, s, cull_mode="front"
+            shadow_map, shadow_overflow = render_shadow(
+                cfg, scene, world4, base_tri_valid,
+                uni.light_space_matrix, uni.cascade_matrices, pool,
+                band=band,
             )
-            bins_s = _binner(cfg, scene.tri_v.shape[0])(
-                setup_s.bbox, setup_s.valid, s_band, s,
-                st_h, cfg.shadow_tile,
-                cfg.shadow_max_tris_per_tile, y0=sy0,
-                keep_score=_keep_score(cfg, setup_s),
-            )
-            vis_s = _raster(cfg)(
-                setup_s, bins_s, s_band, s, st_h, cfg.shadow_tile,
-                y0=sy0, layers=2 if alpha_shadow else 1,
-            )
-            if alpha_shadow:
-                # Foliage alpha discard in the shadow pass
-                # (shadow.frag:17-23: alpha < 0.1 casts no shadow).
-                from ..ops.shade import resolve_alpha_test
-
-                vis_s = resolve_alpha_test(
-                    vis_s, setup_s, scene.tri_v, scene.tri_draw,
-                    scene.materials, scene.uv, pool, cutoff_override=0.1,
-                    y0=sy0, vert_uid=scene.vert_uid,
-                )
-            return vis_s.depth, bins_s.overflow
-
-        def gather_map(d, axis=0):
-            if band is not None:
-                # Every device needs the whole map for PCF -> one tiled
-                # all_gather riding ICI per frame.
-                d = jax.lax.all_gather(d, band.axis, axis=axis, tiled=True)
-            return d
-
-        if cfg.shadow_cascades > 1:
-            # One vmapped trace over the cascade axis instead of a Python
-            # unroll: C x smaller program (compile time) and XLA/Mosaic see
-            # one batched raster (the pallas grid gains a cascade dim).
-            ds, ofs = jax.vmap(depth_only)(
-                uni.cascade_matrices[: cfg.shadow_cascades]
-            )
-            shadow_map = gather_map(ds, axis=1)  # (C, S, S)
-            shadow_overflow = jnp.max(ofs)
-        else:
-            d, shadow_overflow = depth_only(uni.light_space_matrix)
-            shadow_map = gather_map(d)
 
     # GPU-driven per-draw culling: mask whole draws' triangles out before
     # binning (the TPU form of the indirect-draw compaction in
@@ -717,6 +801,26 @@ def finalize_frame(
     alpha = jnp.full((cfg.height, cfg.width, 1), 255, jnp.uint8)
     image = jnp.concatenate([rgb_u8, alpha], axis=-1)
 
+    if cfg.overflow_taint:
+        # BOTTOM-right corner (the text overlay composites top-left).
+        blk = max(min(8, cfg.height, cfg.width // 2), 1)
+        h, w = cfg.height, cfg.width
+        magenta = jnp.array([255, 0, 255], jnp.uint8)
+        image = image.at[h - blk :, w - blk :, :3].set(
+            jnp.where(
+                bo.overflow > 0, magenta, image[h - blk :, w - blk :, :3]
+            )
+        )
+        if bo.shadow_overflow is not None:
+            cyan = jnp.array([0, 255, 255], jnp.uint8)
+            image = image.at[h - blk :, w - 2 * blk : w - blk, :3].set(
+                jnp.where(
+                    bo.shadow_overflow > 0,
+                    cyan,
+                    image[h - blk :, w - 2 * blk : w - blk, :3],
+                )
+            )
+
     return FrameOutputs(
         image=image,
         color=color,
@@ -741,11 +845,17 @@ def render_frame_program(
     lights: Optional[jnp.ndarray] = None,  # (L, 16) packed GpuLight rows
     prev_depth: Optional[jnp.ndarray] = None,  # (H, W) last frame, resolved
     ibl=None,  # ops/ibl.EnvironmentIBL
+    ext_shadow: Optional[tuple] = None,  # pre-rendered (map, overflow)
 ) -> FrameOutputs:
     """The pure frame function (trace-time `config`, runtime everything
-    else): the single-device composition of render_band + finalize_frame."""
+    else): the single-device composition of render_band + finalize_frame.
+
+    `ext_shadow` feeds a shadow map rendered by the standalone
+    shadow_program (possibly cached from a previous frame); None renders
+    shadows inside this program."""
     bo = render_band(
-        config, scene, uni, pool, lights, prev_depth, ibl, band=None
+        config, scene, uni, pool, lights, prev_depth, ibl, band=None,
+        ext_shadow=ext_shadow,
     )
     return finalize_frame(config, bo, post, taa_params, history)
 
@@ -755,3 +865,88 @@ def compiled_frame(config: FrameConfig):
     """Jitted frame program for a config (the "pipeline cache" entry)."""
     fn = functools.partial(render_frame_program, config)
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Chunked geometry (the 65k-instance contract at scales whose per-triangle
+# raster transients would not fit HBM, instancing.rs:16)
+# ---------------------------------------------------------------------------
+#
+# The vertex stage and triangle setup materialize ~56 B/expanded-vertex and
+# ~124 B/triangle transiently inside one frame program; past roughly 10^8
+# triangles that alone exceeds a 16 GB chip. The chunked path bounds the
+# transient: the draw list splits into fixed-size groups, each group runs
+# the SAME render_band program (one compile, G executions), and chunks merge
+# by nearest depth — exact for opaque geometry, the same result the fused
+# raster's depth test produces. Shadows render per chunk and min-merge
+# (depth maps compose under min). Post/TAA run once on the merged frame.
+
+
+def merge_band_outputs(a: BandOutputs, b: BandOutputs) -> BandOutputs:
+    """Depth-test composite of two opaque chunk renders (b later in draw
+    order: ties keep a, matching submission-order semantics)."""
+    win_b = b.depth < a.depth
+    color = jnp.where(win_b[..., None], b.color, a.color)
+    depth = jnp.minimum(a.depth, b.depth)
+    velocity = None
+    if a.velocity is not None and b.velocity is not None:
+        velocity = jnp.where(win_b[..., None], b.velocity, a.velocity)
+    shadow_map = None
+    if a.shadow_map is not None and b.shadow_map is not None:
+        shadow_map = jnp.minimum(a.shadow_map, b.shadow_map)
+    return BandOutputs(
+        color=color,
+        depth=depth,
+        velocity=velocity,
+        shadow_map=shadow_map,
+        # Per-chunk covered counts sum (overlapping coverage counts once
+        # per chunk — an upper bound; exact per-chunk values are what the
+        # overflow diagnostics need anyway).
+        covered=a.covered + b.covered,
+        overflow=jnp.maximum(a.overflow, b.overflow),
+        shadow_overflow=(
+            jnp.maximum(a.shadow_overflow, b.shadow_overflow)
+            if a.shadow_overflow is not None
+            and b.shadow_overflow is not None
+            else (a.shadow_overflow
+                  if a.shadow_overflow is not None else b.shadow_overflow)
+        ),
+        visible_draws=(
+            a.visible_draws + b.visible_draws
+            if a.visible_draws is not None and b.visible_draws is not None
+            else None
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_band(config: FrameConfig):
+    """Jitted raster+shade stage WITHOUT the post chain: the chunked path
+    runs one per chunk, merges, then runs compiled_finalize once."""
+
+    def fn(scene, uni, pool, lights, prev_depth, ibl, ext_shadow):
+        return render_band(
+            config, scene, uni, pool, lights, prev_depth, ibl,
+            band=None, ext_shadow=ext_shadow,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_merge(config: FrameConfig):
+    return jax.jit(merge_band_outputs)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_finalize(config: FrameConfig):
+    fn = functools.partial(finalize_frame, config)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_shadow_merge(config: FrameConfig):
+    """min-merge of per-chunk shadow depth maps (+ max of overflows)."""
+    return jax.jit(
+        lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1]))
+    )

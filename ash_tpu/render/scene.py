@@ -121,6 +121,11 @@ class BuiltScene:
     lod_thresholds_host: Optional[np.ndarray] = None  # (D, MAX_LOD_LEVELS)
     draw_center_host: Optional[np.ndarray] = None  # (D, 3)
     draw_extents_host: Optional[np.ndarray] = None  # (D, 3)
+    # World AABB the (center, radius) sphere was fitted to. The chunked
+    # path unions these across chunks so its shadow auto-fit is BIT-EXACT
+    # with the fused path's (the sphere union alone would be looser).
+    scene_lo: Optional[np.ndarray] = None  # (3,)
+    scene_hi: Optional[np.ndarray] = None  # (3,)
 
 
 class _PackedMesh(NamedTuple):
@@ -299,6 +304,8 @@ def build_scene(
         lod_thresholds_host=thresholds,
         draw_center_host=centers,
         draw_extents_host=extents,
+        scene_lo=lo.astype(np.float32),
+        scene_hi=hi.astype(np.float32),
     )
 
 

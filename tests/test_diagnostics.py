@@ -173,3 +173,60 @@ def test_overflow_readback_gated_on_console_mode(caplog):
         for _ in range(130):
             r.render_frame(view, proj, pos)
     assert any("binning overflow" in m for m in caplog.messages)
+
+
+def test_overflow_taint_in_frame_no_readbacks():
+    """Dropped triangles must be VISIBLE with diagnostics overlay on, with
+    zero host readbacks: the frame program paints a magenta (main) / cyan
+    (shadow) corner block in-jit when a bin overflowed (VERDICT r2 weak #5).
+    """
+    import numpy as np
+
+    from ash_tpu import Material, Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import (
+        HeadlessSurface,
+        RenderCommand,
+        Renderer,
+        RendererConfig,
+    )
+
+    def build(mode):
+        surface = HeadlessSurface(160, 120)
+        # 1-triangle tile caps on a multi-cube stack: guaranteed overflow
+        # in both the main and shadow binners.
+        r = Renderer(
+            surface,
+            RendererConfig(
+                tile_h=8, tile_w=32, max_tris_per_tile=1,
+                shadow_resolution=64, shadow_tile=64,
+                shadow_max_tris_per_tile=1,
+            ),
+        )
+        r.register_mesh_handle(0, Mesh.create_cube())
+        r.register_material_handle(1, Material())
+        cmds = []
+        for i in range(4):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, 3] = [0.05 * i, 0.05 * i, 0.05 * i]
+            cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+        r.submit_render_commands(cmds)
+        r.set_diagnostics_mode(mode)
+        cam = Camera.new([0, 1.5, 4], [0, 0, 0], 1.0)
+        out = r.render_frame(
+            cam.view_matrix(), cam.projection_matrix(), cam.position
+        )
+        assert int(out.binning_overflow) > 0  # test-only readback
+        assert int(out.shadow_overflow) > 0
+        return np.asarray(out.image)
+
+    img = build(DiagnosticsMode.OVERLAY_ONLY)
+    # Magenta main-overflow block in the bottom-right 8x8.
+    assert (img[-8:, -8:, :3] == np.array([255, 0, 255], np.uint8)).all()
+    # Cyan shadow-overflow block just left of it.
+    assert (img[-8:, -16:-8, :3] == np.array([0, 255, 255], np.uint8)).all()
+
+    img_off = build(DiagnosticsMode.OFF)
+    assert not (
+        img_off[-8:, -8:, :3] == np.array([255, 0, 255], np.uint8)
+    ).all()
