@@ -226,7 +226,12 @@ class Mesh:
             for s_ in range(segments):
                 a = r * stride + s_
                 b = a + stride
-                idx += [a, b, a + 1, a + 1, b, b + 1]
+                # Outward-facing winding, matching the cube's convention
+                # (front = CCW seen from outside). The previous order wound
+                # inside-out: back-face culling kept the FAR hemisphere, so
+                # lighting came from interpolated inward normals (caught by
+                # tests/test_analytic_oracle.py's ray-traced oracle).
+                idx += [a, a + 1, b, b, a + 1, b + 1]
         return Mesh(
             name=name,
             vertices=VertexArrays(
