@@ -399,7 +399,7 @@ def shadow_program(
     )
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def compiled_shadow(config: FrameConfig):
     """Jitted standalone shadow program for a config."""
     return jax.jit(functools.partial(shadow_program, config))
@@ -860,9 +860,14 @@ def render_frame_program(
     return finalize_frame(config, bo, post, taa_params, history)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def compiled_frame(config: FrameConfig):
-    """Jitted frame program for a config (the "pipeline cache" entry)."""
+    """Jitted frame program for a config (the "pipeline cache" entry).
+
+    256 entries: eviction silently drops a compiled executable and forces a
+    multi-second re-trace on the next frame with that config, so the bound
+    sits far above any realistic config count (reference pipeline caches
+    are unbounded, pipeline_cache.rs)."""
     fn = functools.partial(render_frame_program, config)
     return jax.jit(fn)
 
@@ -919,7 +924,7 @@ def merge_band_outputs(a: BandOutputs, b: BandOutputs) -> BandOutputs:
     )
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def compiled_band(config: FrameConfig):
     """Jitted raster+shade stage WITHOUT the post chain: the chunked path
     runs one per chunk, merges, then runs compiled_finalize once."""
@@ -933,18 +938,18 @@ def compiled_band(config: FrameConfig):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def compiled_merge(config: FrameConfig):
     return jax.jit(merge_band_outputs)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def compiled_finalize(config: FrameConfig):
     fn = functools.partial(finalize_frame, config)
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)
 def compiled_shadow_merge(config: FrameConfig):
     """min-merge of per-chunk shadow depth maps (+ max of overflows)."""
     return jax.jit(
