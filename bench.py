@@ -220,6 +220,12 @@ def main():
         "--no-extras", action="store_true",
         help="plain config only (no rich/animate/mega subprocesses)",
     )
+    ap.add_argument(
+        "--trace", action=argparse.BooleanOptionalAction, default=None,
+        help="per-pass device-timeline attribution of the fused frame "
+        "(default: on for the plain TPU config; ~75 s of trace collection "
+        "on the tunnel)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -368,6 +374,47 @@ def main():
                   file=sys.stderr)
         except Exception as e:  # never let diagnostics sink the bench
             print(f"per-pass profiling failed: {e}", file=sys.stderr)
+
+    if args.trace is None:
+        # Default: trace the inline plain-headline config only (the extras
+        # each pay ~75 s of tunnel trace collection if forced with --trace).
+        args.trace = not (
+            args.cpu or args.small or args.rich or args.animate or args.mega
+        )
+    if args.trace:
+        # TRUE per-pass attribution (VERDICT r2 item 4): run the production
+        # executable under jax.profiler.trace and bucket the chip's own
+        # per-op timeline by the pass_* named scopes (frame.py). Fractions
+        # come from real device counters of the FUSED frame; ms scale to
+        # the wall-measured frame time (pass_trace.scaled_rows documents
+        # the tunnel clock-scale quirk). Must run AFTER all wall timing:
+        # trace collection is a readback and ends pipelined dispatch.
+        try:
+            from ash_tpu.render.diagnostics.pass_trace import profile_passes
+
+            def _run():
+                r.render_frame(
+                    view, proj, cam.position
+                ).image.block_until_ready()
+
+            profs = profile_passes(_run, iters=12, warmup=2)
+            if not profs:
+                print("pass trace: no device timeline in profile",
+                      file=sys.stderr)
+            if profs:
+                p = profs[0]  # the frame program (largest total time)
+                rows = p.scaled_rows(dt * 1000.0)
+                line = ", ".join(
+                    f"{name.replace('pass_', '')}={ms:.3f}ms ({frac:5.1%})"
+                    for name, ms, frac in rows
+                )
+                print(
+                    f"per-pass ms (device timeline of the fused frame, "
+                    f"scaled to {dt*1000:.2f} ms): {line}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # never let diagnostics sink the bench
+            print(f"pass trace failed: {e}", file=sys.stderr)
 
     # Readbacks LAST (see above — they end the fast-dispatch mode).
     covered = int(out.covered_pixels)
