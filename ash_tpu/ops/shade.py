@@ -341,54 +341,63 @@ def shade_pbr(
     csm_blend_size: float = 0.0,
     max_anisotropy: int = 1,  # reference sampler: 16x (texture.rs:313-327)
     ibl=None,  # ops/ibl.EnvironmentIBL: replaces the flat ambient term
+    dtype=jnp.float32,  # bf16 experiment: BRDF/lighting arithmetic dtype
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
     With reinhard=True the output matches the reference main pass exactly
     (frag.frag:227, LDR); with False it returns linear HDR for the post chain.
-    """
+
+    dtype=jnp.bfloat16 runs the BRDF + light-loop arithmetic in bf16
+    (FrameConfig.shade_dtype="bf16"): material factors, normals/TBN,
+    dot products, GGX/Smith/Schlick and per-light accumulation. Positions,
+    depth-derived quantities (shadow lookups, light distances) and the
+    final composite stay f32 — bf16's 8-bit mantissa is fine for unit
+    vectors and reflectance in [0,1] but not for world coordinates.
+    Output is always f32."""
+    cast = (lambda x: x.astype(dtype)) if dtype != jnp.float32 else (lambda x: x)
     mat = materials[gbuf.draw_id]  # (H, W, 18)
-    base_factor = mat[..., 0:4]
-    emissive_factor = mat[..., 4:8]
-    metallic_p = mat[..., 8]
-    roughness_p = mat[..., 9]
-    occlusion_strength = mat[..., 10]
-    normal_scale = mat[..., 11]
+    base_factor = cast(mat[..., 0:4])
+    emissive_factor = cast(mat[..., 4:8])
+    metallic_p = cast(mat[..., 8])
+    roughness_p = cast(mat[..., 9])
+    occlusion_strength = cast(mat[..., 10])
+    normal_scale = cast(mat[..., 11])
     base_idx = mat[..., 12].astype(jnp.int32)
     normal_idx = mat[..., 13].astype(jnp.int32)
     mr_idx = mat[..., 14].astype(jnp.int32)
     occ_idx = mat[..., 15].astype(jnp.int32)
     emis_idx = mat[..., 16].astype(jnp.int32)
 
-    view_dir = _normalize(uniforms.camera_pos - gbuf.world)
-    light_dir = _normalize(-uniforms.light_direction)[None, None, :]
+    view_dir = cast(_normalize(uniforms.camera_pos - gbuf.world))
+    light_dir = cast(_normalize(-uniforms.light_direction))[None, None, :]
     light_dir = jnp.broadcast_to(light_dir, gbuf.world.shape)
 
     # Base color (frag.frag:124-129).
     if pool is not None:
-        base_sample = _sample_map(pool, base_idx, gbuf.uv, gbuf.uv_ddx,
-                                  gbuf.uv_ddy, max_anisotropy)
+        base_sample = cast(_sample_map(pool, base_idx, gbuf.uv, gbuf.uv_ddx,
+                                       gbuf.uv_ddy, max_anisotropy))
     else:
-        base_sample = jnp.ones((*gbuf.mask.shape, 4), jnp.float32)
+        base_sample = jnp.ones((*gbuf.mask.shape, 4), dtype)
     base_color = base_sample[..., :3] * base_factor[..., :3]
 
     # TBN with safe fallback + Gram-Schmidt + backface flip (frag.frag:133-150).
-    n = gbuf.normal
-    t_raw = gbuf.tangent[..., :3]
+    n = cast(gbuf.normal)
+    t_raw = cast(gbuf.tangent[..., :3])
     t_len = jnp.linalg.norm(t_raw, axis=-1, keepdims=True)
     t = jnp.where(t_len > 1e-3, t_raw / jnp.maximum(t_len, 1e-8),
-                  jnp.array([1.0, 0.0, 0.0]))
+                  jnp.array([1.0, 0.0, 0.0], n.dtype))
     t = _normalize(t - jnp.sum(t * n, axis=-1, keepdims=True) * n)
     flip = jnp.where(gbuf.front_facing[..., None], 1.0, -1.0)
     n = n * flip
     t = t * flip
-    b = jnp.cross(n, t) * gbuf.tangent[..., 3:4]
+    b = jnp.cross(n, t) * cast(gbuf.tangent[..., 3:4])
 
     normal = n
     if pool is not None:
         # Normal mapping (frag.frag:153-165).
-        map_sample = _sample_map(pool, normal_idx, gbuf.uv, gbuf.uv_ddx,
-                                 gbuf.uv_ddy, max_anisotropy)[..., :3]
+        map_sample = cast(_sample_map(pool, normal_idx, gbuf.uv, gbuf.uv_ddx,
+                                      gbuf.uv_ddy, max_anisotropy)[..., :3])
         valid_sample = jnp.linalg.norm(map_sample, axis=-1) > 1e-3
         mn = map_sample * 2.0 - 1.0
         mn = jnp.concatenate([mn[..., :2] * normal_scale[..., None], mn[..., 2:]], -1)
@@ -402,16 +411,16 @@ def shade_pbr(
     metallic = metallic_p
     roughness = jnp.maximum(roughness_p, 0.04)
     if pool is not None:
-        mr = _sample_map(pool, mr_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
-                         max_anisotropy)
+        mr = cast(_sample_map(pool, mr_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
+                              max_anisotropy))
         metallic = jnp.where(mr_idx >= 0, metallic * mr[..., 2], metallic)
         roughness = jnp.where(mr_idx >= 0, jnp.maximum(roughness * mr[..., 1], 0.04), roughness)
 
     # Occlusion (frag.frag:179-183).
     occlusion = jnp.ones_like(metallic)
     if pool is not None:
-        occ = _sample_map(pool, occ_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
-                          max_anisotropy)[..., 0]
+        occ = cast(_sample_map(pool, occ_idx, gbuf.uv, gbuf.uv_ddx, gbuf.uv_ddy,
+                               max_anisotropy)[..., 0])
         mixed = 1.0 + (occ - 1.0) * occlusion_strength
         occlusion = jnp.where(occ_idx >= 0, mixed, occlusion)
 
@@ -447,8 +456,13 @@ def shade_pbr(
         shadow = shadow_ops.shadow_pcf16(shadow_map, pos_light, n, light_dir)
     else:
         shadow = jnp.zeros_like(ndotl)
+    # PCF runs in f32 (world-space lookups); re-enter the working dtype at
+    # the radiance accumulation so the fori_loop carry dtype is stable.
+    shadow = cast(shadow)
 
-    lo = (diffuse + specular) * (uniforms.light_color * (ndotl * (1.0 - shadow))[..., None])
+    lo = (diffuse + specular) * (
+        cast(uniforms.light_color) * (ndotl * (1.0 - shadow))[..., None]
+    )
 
     # Forward+ point lights: each pixel walks its tile's culled light list
     # (the consumption side of shaders/light_culling.comp — designed but
@@ -482,7 +496,7 @@ def shade_pbr(
             row = lights[jnp.maximum(lid, 0)]  # (H, W, 16)
             lpos = row[..., 0:3]
             lradius = jnp.maximum(row[..., 3], 1e-3)
-            lcolor = row[..., 4:7] * row[..., 7:8]  # color * intensity
+            lcolor = cast(row[..., 4:7] * row[..., 7:8])  # color * intensity
             ltype = row[..., 11]  # 0 point, 1 spot, 2 directional
             to_light = lpos - gbuf.world
             dist = jnp.linalg.norm(to_light, axis=-1)
@@ -511,6 +525,11 @@ def shade_pbr(
                     (ltype >= 0.5), atten * spot * spot, atten
                 ),
             )
+            # Attenuation/cone math above runs in f32 (dist^4 underflows
+            # bf16's 8-bit mantissa at range); the BRDF below re-enters
+            # the working dtype.
+            atten = cast(atten)
+            ldir = cast(ldir)
             nl = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
             half_l = _normalize(view_dir + ldir)
             nh = jnp.maximum(jnp.sum(normal * half_l, axis=-1), 0.0)
@@ -524,7 +543,7 @@ def shade_pbr(
             contrib = (kd_l * base_color / PI + spec_l) * lcolor * (nl * atten)[..., None]
             return lo_acc + jnp.where((lid >= 0)[..., None], contrib, 0.0)
 
-        lo = jax.lax.fori_loop(0, n_iter, light_slot, lo)
+        lo = jax.lax.fori_loop(0, n_iter, light_slot, cast(lo))
 
     if ibl is not None:
         # Split-sum image-based ambient (ops/ibl.py), modulated by the same

@@ -94,6 +94,10 @@ class FrameConfig:
     # requests 16x hardware anisotropy, texture.rs:313-327 — here each tap
     # is a real trilinear fetch, so keep this modest).
     max_anisotropy: int = 1
+    # BRDF/lighting arithmetic dtype: "f32" (default) or "bf16" (runs the
+    # shade pass's material/TBN/BRDF/light-loop math in bfloat16; positions,
+    # shadow lookups and the final composite stay f32 — ops/shade.py).
+    shade_dtype: str = "f32"
     # Alpha-test (cutout) rendering: rasterize two depth layers and let
     # cut-out pixels fall through (ops/shade.resolve_alpha_test). The shadow
     # pass uses the reference's fixed 0.1 threshold (shadow.frag:17-23).
@@ -693,6 +697,9 @@ def render_band(
             csm_blend_size=cfg.csm_blend_size,
             max_anisotropy=cfg.max_anisotropy,
             ibl=ibl if cfg.ibl_enabled else None,
+            dtype=(
+                jnp.bfloat16 if cfg.shade_dtype == "bf16" else jnp.float32
+            ),
         )
 
     with jax.named_scope("pass_shade"):

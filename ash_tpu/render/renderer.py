@@ -94,6 +94,9 @@ class RendererConfig:
     csm: Optional[object] = None
     shadow_distance: float = 50.0  # CSM max shadow distance
     shading: str = "pbr"
+    # BRDF/lighting arithmetic dtype: "f32" or "bf16" (ops/shade.py — the
+    # bf16 experiment runs BRDF + light-loop math in bfloat16, ROADMAP).
+    shade_dtype: str = "f32"
     clear_color: tuple = (0.0, 0.0, 0.0)
     debug: bool = False  # enables jax nan-debugging (the "validation layer")
     # GPU-driven culling: per-draw frustum culling each frame; occlusion
@@ -240,6 +243,7 @@ class Renderer:
         self._scene_dirty = True
         self._single_mat_row: Optional[np.ndarray] = None
         self._compiled_frame = compiled_frame
+        self._split_warmed: set = set()  # configs with band+finalize warm
         self._kernel_watcher = None
         if self.config.watch_kernels:
             from .hot_reload import KernelWatcher
@@ -684,6 +688,7 @@ class Renderer:
                 else 1.0
             ),
             shading=c.shading,
+            shade_dtype=c.shade_dtype,
             clear_color=tuple(c.clear_color),
             post_enabled=self.hdr_enabled,
             bloom_enabled=self.bloom_enabled_flag,
@@ -968,7 +973,6 @@ class Renderer:
             alpha_blend=has_blend,
             ibl_enabled=self._ibl is not None,
         )
-        frame_fn = self._compiled_frame(config)
         post = PostParams(
             exposure=np.float32(self.tonemapping_exposure),
             gamma=np.float32(self.tonemapping_gamma),
@@ -999,17 +1003,28 @@ class Renderer:
         # weak #2: the shadow pass was ~55% of a static frame). LOD scenes
         # keep shadows in the fused frame (the selection mask is
         # camera-dependent and lives there).
-        ext_shadow = None
-        if config.shadow_enabled and not config.lod_enabled:
-            ext_shadow = self._external_shadow(config, uni, models, pool)
-        outputs = frame_fn(
-            self._scene.buffers, uni, pool, post, taa_params,
-            self._taa_history if taa_params is not None else None,
-            lights,
-            prev_depth,
-            self._ibl,
-            ext_shadow,
-        )
+        use_ext = config.shadow_enabled and not config.lod_enabled
+        history = self._taa_history if taa_params is not None else None
+        if config.post_enabled:
+            # Post-enabled frames run as TWO programs (band + finalize) so
+            # cold start can compile band, finalize, and the shadow program
+            # in parallel — see _render_post_split.
+            outputs = self._render_post_split(
+                config, uni, models, pool, post, taa_params, history,
+                lights, prev_depth, use_ext,
+            )
+        else:
+            ext_shadow = (
+                self._external_shadow(config, uni, models, pool)
+                if use_ext else None
+            )
+            outputs = self._compiled_frame(config)(
+                self._scene.buffers, uni, pool, post, taa_params, history,
+                lights,
+                prev_depth,
+                self._ibl,
+                ext_shadow,
+            )
         if outputs.history is not None:
             self._taa_history = outputs.history
         if self.occlusion_culling:
@@ -1029,6 +1044,62 @@ class Renderer:
         self.frame_count += 1
         self._update_diagnostics(items, (time.perf_counter() - now) * 1000.0)
         return outputs
+
+    def _build_chunk_scenes(self, groups) -> list:
+        """Per-chunk BuiltScenes, deduplicating device buffers across
+        chunks whose (mesh, material) draw sequences are identical.
+
+        SceneBuffers hold only model-INDEPENDENT data (vertex pool,
+        int32 expansion maps, packed materials, local draw bounds) — per-
+        chunk model matrices ride FrameUniforms — so uniform instancing
+        fleets (the 65k contract, instancing.rs:16) collapse to ONE
+        resident copy of the expansion maps instead of one per chunk:
+        33 chunks of 3M tris went from ~4 GB resident (OOM alongside the
+        raster transients at 96M tris) to ~130 MB. Only the world AABB is
+        model-dependent; it is recomputed per chunk from the template's
+        local draw bounds (same corner math as build_scene)."""
+        sig_to_scene = {}
+        scenes = []
+        signs = np.array(
+            [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+            np.float32,
+        )
+        for g in groups:
+            sig = tuple(
+                (it.mesh_key, it.packed_material().tobytes()) for it in g
+            )
+            tmpl = sig_to_scene.get(sig)
+            if tmpl is None:
+                scene = build_scene(g, self.mesh_registry)
+                sig_to_scene[sig] = scene
+                scenes.append(scene)
+                continue
+            centers = tmpl.draw_center_host
+            extents = tmpl.draw_extents_host
+            corners = (
+                centers[:, None, :] + extents[:, None, :] * signs[None]
+            )  # (D, 8, 3)
+            models = np.stack(
+                [np.asarray(it.model, np.float32) for it in g]
+            )
+            wc = (
+                np.einsum("dij,dcj->dci", models[:, :3, :3], corners)
+                + models[:, None, :3, 3]
+            )
+            lo = wc.reshape(-1, 3).min(axis=0).astype(np.float32)
+            hi = wc.reshape(-1, 3).max(axis=0).astype(np.float32)
+            center = ((lo + hi) * 0.5).astype(np.float32)
+            radius = float(np.linalg.norm(hi - center))
+            scenes.append(
+                dataclasses.replace(
+                    tmpl,
+                    scene_center=center,
+                    scene_radius=max(radius, 1e-3),
+                    scene_lo=lo,
+                    scene_hi=hi,
+                )
+            )
+        return scenes
 
     def _render_frame_chunked(self, items, view, proj, camera_pos,
                               frame_start) -> FrameOutputs:
@@ -1055,6 +1126,16 @@ class Renderer:
         )
 
         cpd = int(self.config.max_draws_per_chunk)
+        # Bound in-flight work to ONE chunked frame: each queued frame holds
+        # every chunk's band outputs + transient workspace until it runs, so
+        # an unthrottled caller loop (frames queued back-to-back) piles up
+        # G x frames executions and OOMs HBM (observed: 33 chunks x 3
+        # queued frames at 96M tris). block_until_ready is a fence, not a
+        # transfer — safe under the tunnel-readback rule (ROADMAP).
+        if self._last_outputs is not None and hasattr(
+            self._last_outputs.image, "block_until_ready"
+        ):
+            self._last_outputs.image.block_until_ready()
         if self.lighting_feature.point_lights or self.lighting_feature.spot_lights:
             raise InvalidOperation(
                 "chunked geometry does not support Forward+ lights (tile "
@@ -1080,7 +1161,7 @@ class Renderer:
             or sum(len(g) for g in self._chunk_items) != len(items)
         ):
             groups = [items[i : i + cpd] for i in range(0, len(items), cpd)]
-            scenes = [build_scene(g, self.mesh_registry) for g in groups]
+            scenes = self._build_chunk_scenes(groups)
             if any(s.has_lods for s in scenes):
                 raise InvalidOperation(
                     "chunked geometry does not support LOD chains"
@@ -1264,6 +1345,107 @@ class Renderer:
             items, (time.perf_counter() - frame_start) * 1000.0
         )
         return outputs
+
+    def _render_post_split(self, config, uni, models, pool, post, taa_params,
+                           history, lights, prev_depth, use_ext):
+        """Post-enabled frames run as TWO programs — the raster/shade band
+        and the post/finalize chain — instead of one fused executable.
+
+        Why: XLA compile time scales superlinearly with program size. The
+        fused rich program (post + TAA + 3-cascade CSM + Forward+) cold-
+        compiles ~17 s on the chip while the band (~10 s) and finalize
+        (~7 s) halves compile faster AND in parallel threads, overlapped
+        with the ~6 s standalone shadow program (_warm_post_split). The
+        runtime cost is materializing the band outputs to HBM between the
+        programs (~50 MB at 1080p ≈ 0.06 ms, <5% of a rich frame); plain
+        configs keep the single fused program — their finalize is a
+        trivial encode+pack and the split would cost more than it saves.
+        The reference's counterpart is threaded pipeline creation at
+        startup (one vkCreateGraphicsPipelines call per pipeline)."""
+        from .frame import compiled_band, compiled_finalize
+
+        band_fn = compiled_band(config)
+        fin_fn = compiled_finalize(config)
+        scene = self._scene.buffers
+        if config not in self._split_warmed:
+            self._warm_post_split(
+                config, band_fn, fin_fn, uni, models, pool, post,
+                taa_params, history, lights, prev_depth, use_ext,
+            )
+            self._split_warmed.add(config)
+        ext_shadow = (
+            self._external_shadow(config, uni, models, pool)
+            if use_ext else None
+        )
+        bo = band_fn(scene, uni, pool, lights, prev_depth, self._ibl,
+                     ext_shadow)
+        return fin_fn(bo, post, taa_params, history)
+
+    def _warm_post_split(self, config, band_fn, fin_fn, uni, models, pool,
+                         post, taa_params, history, lights, prev_depth,
+                         use_ext):
+        """Cold-start compile of the split frame's three programs in
+        parallel via AOT lower/compile: tracing (Python, GIL-bound)
+        runs serially in this thread — shadow, band, finalize, each
+        lowered against abstract ShapeDtypeStructs where the real value
+        isn't needed — and each program's XLA compile (which releases
+        the GIL) starts in its own thread the moment its lowering is
+        done. `Lowered.compile()` populates the jit executable cache,
+        so the steady-state calls that follow are cache hits (verified
+        by the single-trace test). Compared with warming by calling,
+        this avoids tracing the band twice (call + eval_shape) and
+        starts the shadow/band compiles ~5 s earlier."""
+        import threading
+
+        import jax
+
+        from .frame import compiled_shadow
+
+        scene = self._scene.buffers
+        ibl = self._ibl
+
+        def spec_of(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+            )
+
+        threads = []
+        errs = []
+
+        def compile_in_thread(lowered):
+            def run():
+                try:
+                    lowered.compile()
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+            t = threading.Thread(target=run)
+            t.start()
+            threads.append(t)
+
+        ext_spec = None
+        if use_ext:
+            shadow_pool = (
+                pool if (config.alpha_test and config.textured) else None
+            )
+            shadow_low = compiled_shadow(config).lower(
+                scene, models, uni.light_space_matrix,
+                uni.cascade_matrices, shadow_pool,
+            )
+            compile_in_thread(shadow_low)
+            ext_spec = shadow_low.out_info
+        band_low = band_fn.lower(
+            scene, uni, pool, lights, prev_depth, ibl, ext_spec,
+        )
+        compile_in_thread(band_low)
+        fin_low = fin_fn.lower(
+            spec_of(band_low.out_info), post, taa_params, history,
+        )
+        fin_low.compile()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
 
     def _external_shadow(self, config, uni, models, pool) -> tuple:
         """Render (or reuse) the standalone shadow map for this frame.

@@ -217,6 +217,11 @@ def main():
         help="1,002,528-triangle displaced sphere at 1080p",
     )
     ap.add_argument(
+        "--bf16", action="store_true",
+        help="shade_dtype=bf16: BRDF/lighting arithmetic in bfloat16 "
+        "(the ROADMAP bf16 experiment; goldens stay f32)",
+    )
+    ap.add_argument(
         "--no-extras", action="store_true",
         help="plain config only (no rich/animate/mega subprocesses)",
     )
@@ -259,6 +264,8 @@ def main():
         overrides["shadow_tile"] = args.shadow_tile
     if args.shadow_cap is not None:
         overrides["shadow_max_tris_per_tile"] = args.shadow_cap
+    if args.bf16:
+        overrides["shade_dtype"] = "bf16"
 
     t0 = time.perf_counter()
     num_tris = None

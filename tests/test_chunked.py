@@ -148,3 +148,25 @@ def test_chunked_rejects_unsupported_features():
         r.render_frame(
             cam.view_matrix(), cam.projection_matrix(), cam.position
         )
+
+
+def test_chunked_dedupes_identical_chunk_buffers():
+    """Chunks with identical (mesh, material) draw sequences share ONE
+    device SceneBuffers (renderer._build_chunk_scenes): uniform instancing
+    fleets keep a single resident copy of the expansion maps. The render
+    must still be pixel-identical to the unchunked path (world AABBs are
+    recomputed per chunk from the shared template's local bounds)."""
+    cmds = commands(12, seed=4)
+    for c in cmds:
+        c.material = 1  # uniform material -> chunks 0-2 have equal sigs
+    r_ch = make_renderer(max_draws_per_chunk=4)
+    r_ch.submit_render_commands(cmds)
+    img = render(r_ch)
+
+    unique = {id(s.buffers.position) for s in r_ch._chunk_scenes}
+    assert len(r_ch._chunk_scenes) == 3
+    assert len(unique) == 1, "identical chunks must share device buffers"
+
+    r_ref = make_renderer()
+    r_ref.submit_render_commands(cmds)
+    np.testing.assert_array_equal(img, render(r_ref))

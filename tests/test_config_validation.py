@@ -140,19 +140,38 @@ def test_single_trace_cold_start_taa_and_occlusion():
     r.set_taa_enabled(True)
     r.set_occlusion_culling(True)
     cam = Camera.new([0, 0, 4], [0, 0, 0], 64 / 48)
-    jitted = []
+    # Post-enabled configs run the split band+finalize pair (parallel
+    # cold-start compile); the single-trace property must hold for BOTH
+    # programs: the warm-up's dummy arguments must be structurally
+    # identical to steady state, and the config stable across frames.
+    import ash_tpu.render.frame as frame_mod
 
-    orig = r._compiled_frame
+    seen = []
+    orig_band = frame_mod.compiled_band
+    orig_fin = frame_mod.compiled_finalize
 
-    def wrapper(config):
-        fn = orig(config)
-        jitted.append(fn)
+    def band_wrapper(config):
+        fn = orig_band(config)
+        seen.append(("band", fn))
         return fn
 
-    r._compiled_frame = wrapper
-    for _ in range(3):
-        r.render_frame(cam.view_matrix(), cam.projection_matrix(),
-                       cam.position)
-    assert len(set(map(id, jitted))) == 1, "config changed between frames"
-    traces = jitted[0]._cache_size()
-    assert traces == 1, f"frame program traced {traces}x (want 1)"
+    def fin_wrapper(config):
+        fn = orig_fin(config)
+        seen.append(("fin", fn))
+        return fn
+
+    frame_mod.compiled_band = band_wrapper
+    frame_mod.compiled_finalize = fin_wrapper
+    try:
+        for _ in range(3):
+            r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                           cam.position)
+    finally:
+        frame_mod.compiled_band = orig_band
+        frame_mod.compiled_finalize = orig_fin
+    for kind in ("band", "fin"):
+        fns = [fn for k, fn in seen if k == kind]
+        assert fns, f"{kind} program never requested"
+        assert len(set(map(id, fns))) == 1, "config changed between frames"
+        traces = fns[0]._cache_size()
+        assert traces == 1, f"{kind} program traced {traces}x (want 1)"
