@@ -63,6 +63,7 @@ def __getattr__(name):
         "RendererConfig",
         "HeadlessSurface",
         "FileStreamSurface",
+        "LiveViewSurface",
         "RenderCommand",
         "SurfaceProvider",
     ):

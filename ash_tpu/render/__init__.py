@@ -5,6 +5,7 @@ from .frame import FrameConfig, FrameOutputs, FrameUniforms
 from .renderer import MsaaPreset, RenderCommand, Renderer, RendererConfig
 from .scene import DrawItem, SceneBuffers, build_scene
 from .shadow_map import ShadowConfig
+from .live_view import LiveViewSurface
 from .surface import FileStreamSurface, HeadlessSurface, SurfaceProvider
 from .temporal_aa import TaaConfig, TemporalAA
 
@@ -24,6 +25,7 @@ __all__ = [
     "ShadowConfig",
     "FileStreamSurface",
     "HeadlessSurface",
+    "LiveViewSurface",
     "SurfaceProvider",
     "TaaConfig",
     "TemporalAA",
