@@ -306,6 +306,20 @@ def main():
     print(f"first frame (compile): {compile_s:.2f}s", file=sys.stderr)
     for _ in range(2):
         r.render_frame(view, proj, cam.position).image.block_until_ready()
+    # Tiered compilation: let the background fused-program compile finish
+    # so the timing loops measure the promoted steady state (the frame
+    # loop would promote mid-run anyway; this makes it deterministic).
+    t0 = time.perf_counter()
+    if not r.wait_pipeline_optimization():
+        print("warning: fused compile still pending", file=sys.stderr)
+    opt_s = time.perf_counter() - t0
+    if opt_s > 0.05:
+        print(
+            f"fused-program background compile drain: {opt_s:.2f}s "
+            "(overlaps rendering in production)",
+            file=sys.stderr,
+        )
+        r.render_frame(view, proj, cam.position).image.block_until_ready()
     if args.animate:
         # Warm the animated path too (shadow re-render every frame).
         r.update_transforms(animated_models(anim, 0.01))
@@ -334,6 +348,8 @@ def main():
         f"[5 loops: {', '.join(f'{d*1000:.2f}' for d in dts)} ms]",
         file=sys.stderr,
     )
+    if r.pipeline_frames["split"] or r.pipeline_frames["fused"]:
+        print(f"pipeline frames: {r.pipeline_frames}", file=sys.stderr)
 
     # REAL shadow/main attribution from the split pipeline (no loop-harness
     # bias): the steady loop above is main-only when the shadow cache hits
