@@ -140,11 +140,14 @@ class RendererConfig:
     #   "tiered": cold start serves frames from the SPLIT band+finalize
     #       programs (compiled in parallel threads, ~2.5x faster first
     #       frame) while the FUSED single program compiles in a background
-    #       thread; the frame loop promotes to it once ready (measured
-    #       ~0.9 ms/frame faster at 1080p rich — the split materializes
-    #       band outputs to HBM and loses cross-program fusion). The JIT
-    #       tiering playbook: fast-to-compile code first, optimized code
-    #       swapped in when the compiler catches up.
+    #       thread; once ready the frame loop RACES the two on the live
+    #       inputs and keeps whichever measures faster. Whether fusion
+    #       wins flips with the config (round 2's inline-shadow frame:
+    #       fused ~0.9 ms faster; round-3 external-shadow rich: split
+    #       1.6 ms vs fused 3.0 ms on chip), so promotion is decided by
+    #       measurement, not assumption. The JIT tiering playbook:
+    #       fast-to-compile code first, optimized code swapped in when
+    #       the compiler catches up — IF it actually is optimized.
     #   "split": never promote (lowest cold start; steady state pays the
     #       split cost).
     #   "fused": skip the split entirely (round-2 behavior: slowest cold
@@ -1396,11 +1399,13 @@ class Renderer:
         The reference's counterpart is threaded pipeline creation at
         startup (one vkCreateGraphicsPipelines call per pipeline).
 
-        The split costs real steady-state time (~0.9 ms at 1080p rich:
-        band outputs materialize to HBM and the shade->bloom fusion is
-        lost), so pipeline_mode="tiered" (the default) also kicks off a
-        BACKGROUND compile of the fused single program and promotes to it
-        once ready — cold start of the split, steady state of the fuse."""
+        Which of the two is the faster steady state depends on the
+        config (materializing band outputs to HBM costs, but XLA's
+        scheduling of the monolithic program can cost more — the rich
+        external-shadow frame measures 1.6 ms split vs 3.0 ms fused on
+        chip), so pipeline_mode="tiered" (the default) also compiles the
+        fused single program in a BACKGROUND thread, races the two on
+        the live inputs when it lands, and keeps the measured winner."""
         from .frame import compiled_band, compiled_finalize, compiled_frame
 
         band_fn = compiled_band(config)
@@ -1455,18 +1460,71 @@ class Renderer:
 
     def _fused_if_ready(self, config, args):
         """Return the fused frame program if its background compile has
-        finished for this argument signature; otherwise ensure a compile
-        is underway and return None (caller stays on the split path)."""
+        finished for this argument signature AND it won the one-time
+        split-vs-fused race; otherwise ensure a compile is underway and
+        return None (caller stays on the split path)."""
         sig = self._args_sig(args)
         ent = self._fused_bg.get(config)
         if ent is None or (ent["sig"] != sig and ent["state"] != "compiling"):
             self._start_fused_compile(config, args, sig)
             return None
-        if ent["state"] == "ready" and ent["sig"] == sig:
+        if ent["state"] != "ready" or ent["sig"] != sig:
+            return None
+        if "winner" not in ent:
+            ent["winner"], ent["race_ms"] = self._race_pipelines(config, args)
+        if ent["winner"] == "fused":
             from .frame import compiled_frame
 
             return compiled_frame(config)
         return None
+
+    def _race_pipelines(self, config, args, iters: int = 8):
+        """One-time measured A/B of the split vs fused frame programs on
+        the live inputs: time `iters` queued executions of each (fence
+        via block_until_ready — no device->host readback, tunnel-safe)
+        and return ("fused"|"split", {name: ms}). Runs once per
+        (config, signature) on the first frame after the background
+        compile lands (~2*iters frame times, a one-off ~25-50 ms hitch).
+        Frame programs are pure functions of their arguments, so the
+        discarded race outputs mutate no renderer state."""
+        import time as _time
+
+        from .frame import compiled_band, compiled_finalize, compiled_frame
+
+        fused_fn = compiled_frame(config)
+        band_fn = compiled_band(config)
+        fin_fn = compiled_finalize(config)
+        (scene, uni, pool, post, taa_params, history, lights,
+         prev_depth, ibl, ext_shadow) = args
+
+        def run_fused():
+            return fused_fn(*args)
+
+        def run_split():
+            bo = band_fn(scene, uni, pool, lights, prev_depth, ibl,
+                         ext_shadow)
+            return fin_fn(bo, post, taa_params, history)
+
+        times = {}
+        for name, fn in (("fused", run_fused), ("split", run_split)):
+            fn().image.block_until_ready()  # warm the dispatch path
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            out.image.block_until_ready()
+            times[name] = (_time.perf_counter() - t0) / iters * 1000.0
+        winner = "fused" if times["fused"] <= times["split"] else "split"
+        return winner, times
+
+    @property
+    def pipeline_decisions(self) -> dict:
+        """Per-config tiered-promotion outcomes: {config: {"winner":
+        "fused"|"split", "race_ms": {...}}} for entries that raced."""
+        return {
+            cfg: {"winner": ent["winner"], "race_ms": ent["race_ms"]}
+            for cfg, ent in self._fused_bg.items()
+            if "winner" in ent
+        }
 
     def _start_fused_compile(self, config, args, sig) -> None:
         """Background-thread AOT compile of the fused frame program.

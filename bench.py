@@ -196,6 +196,10 @@ def main():
         help="print the legacy normalized per-stage table (recompiles each "
         "stage; the real shadow/main split is always printed)",
     )
+    ap.add_argument("--pipeline-mode", type=str, default=None,
+                    choices=("tiered", "split", "fused"),
+                    help="RendererConfig.pipeline_mode override (A/B the "
+                    "split vs fused steady state)")
     ap.add_argument("--shadow-tile", type=int, default=None)
     ap.add_argument("--shadow-cap", type=int, default=None,
                     help="shadow_max_tris_per_tile override")
@@ -260,6 +264,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     overrides = {}
+    if args.pipeline_mode is not None:
+        overrides["pipeline_mode"] = args.pipeline_mode
     if args.shadow_tile is not None:
         overrides["shadow_tile"] = args.shadow_tile
     if args.shadow_cap is not None:
@@ -350,6 +356,10 @@ def main():
     )
     if r.pipeline_frames["split"] or r.pipeline_frames["fused"]:
         print(f"pipeline frames: {r.pipeline_frames}", file=sys.stderr)
+    for dec in r.pipeline_decisions.values():
+        ms = {k: round(v, 3) for k, v in dec["race_ms"].items()}
+        print(f"pipeline race: winner={dec['winner']} ms={ms}",
+              file=sys.stderr)
 
     # REAL shadow/main attribution from the split pipeline (no loop-harness
     # bias): the steady loop above is main-only when the shadow cache hits

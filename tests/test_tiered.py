@@ -2,10 +2,12 @@
 
 Post-enabled frames cold-start on the SPLIT band+finalize programs (fast
 parallel compile) while the FUSED single program compiles in a background
-thread; the frame loop promotes to it once ready. These tests pin: the
-promotion happens, promoted frames are pixel-identical to split frames,
-"split"/"fused" modes pin their strategy, and a scene reshape mid-flight
-falls back to the split path instead of a synchronous re-trace.
+thread; once ready the frame loop RACES the two on the live inputs and
+keeps the measured winner. These tests pin: the race happens and its
+decision drives which program serves frames, promoted (fused) frames are
+pixel-identical to split frames, "split"/"fused" modes pin their strategy,
+and a scene reshape mid-flight falls back to the split path instead of a
+synchronous re-trace.
 """
 
 import numpy as np
@@ -30,6 +32,15 @@ def _make_renderer(**cfg):
     return r, surface
 
 
+def _force_fused_win(r):
+    """Pin the race outcome so promotion mechanics are deterministic
+    (CPU timings of tiny frames are noise; on the chip the race picks
+    the real winner)."""
+    r._race_pipelines = lambda config, args, iters=8: (
+        "fused", {"fused": 0.0, "split": 1.0},
+    )
+
+
 def _cam():
     cam = Camera.new([0, 1.5, 5], [0, 0, 0], 96 / 64)
     return cam.view_matrix(), cam.projection_matrix(), cam.position
@@ -37,6 +48,7 @@ def _cam():
 
 def test_tiered_promotes_to_fused_and_matches_split():
     r, surface = _make_renderer(pipeline_mode="tiered")
+    _force_fused_win(r)
     view, proj, pos = _cam()
     r.render_frame(view, proj, pos)
     assert r.pipeline_frames["split"] >= 1
@@ -51,6 +63,46 @@ def test_tiered_promotes_to_fused_and_matches_split():
     # Same math, same inputs; only XLA fusion boundaries differ.
     diff = np.abs(split_img.astype(np.int16) - fused_img.astype(np.int16))
     assert diff.max() <= 1, f"fused/split diverge: max {diff.max()}"
+
+
+def test_tiered_race_decides_and_split_winner_sticks():
+    """A real race runs once per (config, signature); if split wins, the
+    loop keeps serving split and the decision is observable."""
+    r, surface = _make_renderer(pipeline_mode="tiered")
+    r._race_pipelines = lambda config, args, iters=8: (
+        "split", {"fused": 1.0, "split": 0.5},
+    )
+    view, proj, pos = _cam()
+    r.render_frame(view, proj, pos)
+    assert r.wait_pipeline_optimization(timeout=120)
+    for _ in range(3):
+        r.render_frame(view, proj, pos)
+    assert r.pipeline_frames["fused"] == 0
+    assert r.pipeline_frames["split"] == 4
+    (decision,) = r.pipeline_decisions.values()
+    assert decision["winner"] == "split"
+    assert decision["race_ms"] == {"fused": 1.0, "split": 0.5}
+
+
+def test_tiered_real_race_runs_and_is_consistent():
+    """Unpatched race on CPU: whatever wins, served frames must follow
+    the decision and rendering must stay correct."""
+    r, surface = _make_renderer(pipeline_mode="tiered")
+    view, proj, pos = _cam()
+    r.render_frame(view, proj, pos)
+    img0 = surface.read_back().copy()
+    assert r.wait_pipeline_optimization(timeout=120)
+    r.render_frame(view, proj, pos)  # triggers the race, serves winner
+    r.render_frame(view, proj, pos)
+    (decision,) = r.pipeline_decisions.values()
+    assert decision["winner"] in ("fused", "split")
+    assert set(decision["race_ms"]) == {"fused", "split"}
+    served = r.pipeline_frames["fused"] if decision["winner"] == "fused" \
+        else r.pipeline_frames["split"] - 1
+    assert served >= 2
+    diff = np.abs(img0.astype(np.int16)
+                  - surface.read_back().astype(np.int16))
+    assert diff.max() <= 1
 
 
 def test_split_mode_never_promotes():
@@ -79,6 +131,7 @@ def test_scene_reshape_falls_back_to_split():
     from ash_tpu.render import RenderCommand
 
     r, surface = _make_renderer(pipeline_mode="tiered")
+    _force_fused_win(r)
     r.register_mesh_handle(1, Mesh.create_cube())
     r.register_material_handle(1, Material(color=(1.0, 0.3, 0.1, 1.0)))
 
