@@ -27,6 +27,39 @@ import time
 import numpy as np
 
 
+def with_timeout(fn, seconds, what):
+    """Run `fn` in a daemon thread; give up after `seconds`.
+
+    Tunnel-readback watchdog: device->host reads on the tunneled TPU
+    plugin can hang indefinitely after a jax.profiler session (observed
+    2026-08-17: `int(out.covered_pixels)` never returned post-trace). A
+    hung diagnostic must never stop the headline JSON line from
+    printing, so every post-timing readback goes through this. Returns
+    (ok, value); the stuck thread is a daemon and won't block exit.
+    """
+    import threading
+
+    box = {}
+
+    def _run():
+        try:
+            box["value"] = fn()
+        except Exception as e:
+            box["error"] = e
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        print(f"{what}: gave up after {seconds}s (tunnel readback hang)",
+              file=sys.stderr)
+        return False, None
+    if "error" in box:
+        print(f"{what} failed: {box['error']}", file=sys.stderr)
+        return False, None
+    return True, box.get("value")
+
+
 def build_bench_renderer(width, height, n_objects, shadow_resolution=2048,
                          **cfg_overrides):
     from ash_tpu import Material, Mesh
@@ -408,57 +441,25 @@ def main():
         except Exception as e:  # never let diagnostics sink the bench
             print(f"per-pass profiling failed: {e}", file=sys.stderr)
 
-    if args.trace is None:
-        # Default: trace the inline plain-headline config only (the extras
-        # each pay ~75 s of tunnel trace collection if forced with --trace).
-        args.trace = not (
-            args.cpu or args.small or args.rich or args.animate or args.mega
+    # Readbacks after all wall timing (they end the fast-dispatch mode) but
+    # BEFORE the trace: a jax.profiler session on the tunnel can leave later
+    # readbacks hung forever (observed: covered_pixels after profile_passes
+    # never returned). Watchdogged so a hang can't eat the JSON line.
+    def _read_counters():
+        shadow_of = (
+            int(out.shadow_overflow) if out.shadow_overflow is not None
+            else 0
         )
-    if args.trace:
-        # TRUE per-pass attribution (VERDICT r2 item 4): run the production
-        # executable under jax.profiler.trace and bucket the chip's own
-        # per-op timeline by the pass_* named scopes (frame.py). Fractions
-        # come from real device counters of the FUSED frame; ms scale to
-        # the wall-measured frame time (pass_trace.scaled_rows documents
-        # the tunnel clock-scale quirk). Must run AFTER all wall timing:
-        # trace collection is a readback and ends pipelined dispatch.
-        try:
-            from ash_tpu.render.diagnostics.pass_trace import profile_passes
+        return int(out.covered_pixels), int(out.binning_overflow), shadow_of
 
-            def _run():
-                r.render_frame(
-                    view, proj, cam.position
-                ).image.block_until_ready()
-
-            profs = profile_passes(_run, iters=12, warmup=2)
-            if not profs:
-                print("pass trace: no device timeline in profile",
-                      file=sys.stderr)
-            if profs:
-                p = profs[0]  # the frame program (largest total time)
-                rows = p.scaled_rows(dt * 1000.0)
-                line = ", ".join(
-                    f"{name.replace('pass_', '')}={ms:.3f}ms ({frac:5.1%})"
-                    for name, ms, frac in rows
-                )
-                print(
-                    f"per-pass ms (device timeline of the fused frame, "
-                    f"scaled to {dt*1000:.2f} ms): {line}",
-                    file=sys.stderr,
-                )
-        except Exception as e:  # never let diagnostics sink the bench
-            print(f"pass trace failed: {e}", file=sys.stderr)
-
-    # Readbacks LAST (see above — they end the fast-dispatch mode).
-    covered = int(out.covered_pixels)
-    shadow_of = (
-        int(out.shadow_overflow) if out.shadow_overflow is not None else 0
-    )
-    print(
-        f"covered {covered} px, "
-        f"overflow main={int(out.binning_overflow)} shadow={shadow_of}",
-        file=sys.stderr,
-    )
+    ok, counters = with_timeout(_read_counters, 120, "overflow readback")
+    if ok:
+        covered, main_of, shadow_of = counters
+        print(
+            f"covered {covered} px, "
+            f"overflow main={main_of} shadow={shadow_of}",
+            file=sys.stderr,
+        )
     try:
         stats = jax.devices()[0].memory_stats() or {}
         in_use = stats.get("bytes_in_use", 0)
@@ -486,6 +487,47 @@ def main():
     if args.save:
         surface.save_png(args.save)
         print(f"saved {args.save}", file=sys.stderr)
+
+    if args.trace is None:
+        # Default: trace the inline plain-headline config only (the extras
+        # each pay ~75 s of tunnel trace collection if forced with --trace).
+        args.trace = not (
+            args.cpu or args.small or args.rich or args.animate or args.mega
+        )
+    if args.trace:
+        # TRUE per-pass attribution (VERDICT r2 item 4): run the production
+        # executable under jax.profiler.trace and bucket the chip's own
+        # per-op timeline by the pass_* named scopes (frame.py). Fractions
+        # come from real device counters of the FUSED frame; ms scale to
+        # the wall-measured frame time (pass_trace.scaled_rows documents
+        # the tunnel clock-scale quirk). Runs dead LAST — after wall timing
+        # AND the counter readbacks — because the profiler session is the
+        # most hang-prone tunnel operation; watchdogged like the readbacks.
+        def _trace_rows():
+            from ash_tpu.render.diagnostics.pass_trace import profile_passes
+
+            def _run():
+                r.render_frame(
+                    view, proj, cam.position
+                ).image.block_until_ready()
+
+            profs = profile_passes(_run, iters=12, warmup=2)
+            return profs[0].scaled_rows(dt * 1000.0) if profs else None
+
+        ok, rows = with_timeout(_trace_rows, 240, "pass trace")
+        if ok and rows is None:
+            print("pass trace: no device timeline in profile",
+                  file=sys.stderr)
+        elif ok:
+            line = ", ".join(
+                f"{name.replace('pass_', '')}={ms:.3f}ms ({frac:5.1%})"
+                for name, ms, frac in rows
+            )
+            print(
+                f"per-pass ms (device timeline of the fused frame, "
+                f"scaled to {dt*1000:.2f} ms): {line}",
+                file=sys.stderr,
+            )
 
     if args.mega:
         metric = f"fps_{height}p_1m_tris"
