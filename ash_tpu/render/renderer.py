@@ -24,6 +24,8 @@ renderer.rs:1093-1545).
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -153,6 +155,14 @@ class RendererConfig:
     #   "fused": skip the split entirely (round-2 behavior: slowest cold
     #       start, best steady state from frame 1).
     pipeline_mode: str = "tiered"
+    # In tiered mode, the COLD split programs additionally compile at
+    # reduced XLA optimization effort (exec_time_optimization_effort):
+    # measured on the rich 1080p config on chip, -1.0 cuts the cold wall
+    # (the band program) 12.8 -> 10.1 s for ~10% slower cold frames —
+    # which only serve until the full-effort programs land in the
+    # background and the race promotes to the measured winner. None
+    # disables (cold split compiles at full effort).
+    cold_compile_effort: Optional[float] = -1.0
 
     def __post_init__(self):
         if self.pipeline_mode not in ("tiered", "split", "fused"):
@@ -1408,8 +1418,9 @@ class Renderer:
         the live inputs when it lands, and keeps the measured winner."""
         from .frame import compiled_band, compiled_finalize, compiled_frame
 
-        band_fn = compiled_band(config)
-        fin_fn = compiled_finalize(config)
+        effort = self._cold_effort()
+        band_fn = compiled_band(config, effort)
+        fin_fn = compiled_finalize(config, effort)
         scene = self._scene.buffers
         if self.config.pipeline_mode == "fused":
             ext_shadow = (
@@ -1434,14 +1445,23 @@ class Renderer:
         args = (scene, uni, pool, post, taa_params, history, lights,
                 prev_depth, self._ibl, ext_shadow)
         if self.config.pipeline_mode == "tiered":
-            fused = self._fused_if_ready(config, args)
-            if fused is not None:
-                self.pipeline_frames["fused"] += 1
-                return fused(*args)
+            promoted = self._promoted(config, args)
+            if promoted is not None:
+                kind, call = promoted
+                self.pipeline_frames[kind] += 1
+                return call()
         self.pipeline_frames["split"] += 1
         bo = band_fn(scene, uni, pool, lights, prev_depth, self._ibl,
                      ext_shadow)
         return fin_fn(bo, post, taa_params, history)
+
+    def _cold_effort(self):
+        """Reduced-effort compile applies only where promotion can later
+        replace the program (tiered mode); pinned modes serve their one
+        pipeline forever and must compile it at full effort."""
+        if self.config.pipeline_mode != "tiered":
+            return None
+        return self.config.cold_compile_effort
 
     @staticmethod
     def _args_sig(args) -> tuple:
@@ -1458,25 +1478,33 @@ class Renderer:
             ),
         )
 
-    def _fused_if_ready(self, config, args):
-        """Return the fused frame program if its background compile has
-        finished for this argument signature AND it won the one-time
-        split-vs-fused race; otherwise ensure a compile is underway and
-        return None (caller stays on the split path)."""
+    def _promoted(self, config, args):
+        """Return ("fused"|"split", zero-arg call) serving the FULL-EFFORT
+        program that won the one-time race, once the background compiles
+        have finished for this argument signature; otherwise ensure the
+        compiles are underway and return None (caller stays on the cold
+        split path)."""
         sig = self._args_sig(args)
         ent = self._fused_bg.get(config)
         if ent is None or (ent["sig"] != sig and ent["state"] != "compiling"):
-            self._start_fused_compile(config, args, sig)
+            self._start_full_compiles(config, args, sig)
             return None
         if ent["state"] != "ready" or ent["sig"] != sig:
             return None
         if "winner" not in ent:
             ent["winner"], ent["race_ms"] = self._race_pipelines(config, args)
-        if ent["winner"] == "fused":
-            from .frame import compiled_frame
+        from .frame import compiled_band, compiled_finalize, compiled_frame
 
-            return compiled_frame(config)
-        return None
+        if ent["winner"] == "fused":
+            return "fused", lambda: compiled_frame(config)(*args)
+        (scene, uni, pool, post, taa_params, history, lights,
+         prev_depth, ibl, ext_shadow) = args
+        band_fn = compiled_band(config)
+        fin_fn = compiled_finalize(config)
+        return "split", lambda: fin_fn(
+            band_fn(scene, uni, pool, lights, prev_depth, ibl, ext_shadow),
+            post, taa_params, history,
+        )
 
     def _race_pipelines(self, config, args, iters: int = 8):
         """One-time measured A/B of the split vs fused frame programs on
@@ -1526,32 +1554,81 @@ class Renderer:
             if "winner" in ent
         }
 
-    def _start_fused_compile(self, config, args, sig) -> None:
-        """Background-thread AOT compile of the fused frame program.
+    def _start_full_compiles(self, config, args, sig) -> None:
+        """Background-thread AOT compile of the FULL-EFFORT programs: the
+        fused single frame and — when the cold split was compiled at
+        reduced effort — the full-effort band + finalize pair, so the
+        race compares two fully optimized pipelines.
 
-        Tracing + XLA compile both run in the thread: tracing holds the
+        Tracing + XLA compile both run in threads: tracing holds the
         GIL (a few seconds of reduced frame pacing, once per config), the
-        compile releases it. `Lowered.compile()` populates the jit
-        executable cache, so the promoted call in the frame loop is a
-        cache hit (same mechanism _warm_post_split relies on, pinned by
-        the single-trace cold-start test). The closure keeps the argument
-        device buffers alive until the compile finishes."""
+        compiles release it and run concurrently. `Lowered.compile()`
+        populates each jit's executable cache, so the promoted call in
+        the frame loop is a cache hit (same mechanism _warm_post_split
+        relies on, pinned by the single-trace cold-start test). The
+        closure keeps the argument device buffers alive until the
+        compiles finish."""
         import threading
-
-        from .frame import compiled_frame
 
         ent = {"sig": sig, "state": "compiling"}
         self._fused_bg[config] = ent
+        cold_effort = self._cold_effort()
 
         def run():
             try:
-                compiled_frame(config).lower(*args).compile()
+                import jax
+
+                from .frame import (
+                    compiled_band,
+                    compiled_finalize,
+                    compiled_frame,
+                )
+
+                (scene, uni, pool, post, taa_params, history, lights,
+                 prev_depth, ibl, ext_shadow) = args
+                lowered = []
+                if cold_effort is not None:
+                    # The serving split jits are low-effort; the race needs
+                    # the full-effort pair too.
+                    band_low = compiled_band(config).lower(
+                        scene, uni, pool, lights, prev_depth, ibl,
+                        ext_shadow,
+                    )
+                    lowered.append(band_low)
+                    lowered.append(compiled_finalize(config).lower(
+                        jax.tree.map(
+                            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                            band_low.out_info,
+                        ),
+                        post, taa_params, history,
+                    ))
+                lowered.append(compiled_frame(config).lower(*args))
+                errs = []
+
+                def compile_one(low):
+                    try:
+                        low.compile()
+                    except Exception as e:
+                        errs.append(e)
+
+                inner = [
+                    threading.Thread(
+                        target=compile_one, args=(low,), daemon=True
+                    )
+                    for low in lowered
+                ]
+                for t in inner:
+                    t.start()
+                for t in inner:
+                    t.join()
+                if errs:
+                    raise errs[0]
                 ent["state"] = "ready"
-            except Exception:  # stay on the split path forever
+            except Exception:  # stay on the cold split path forever
                 ent["state"] = "failed"
 
         t = threading.Thread(
-            target=run, name="ash-fused-compile", daemon=True
+            target=run, name="ash-full-compile", daemon=True
         )
         t.start()
         self._fused_threads.append(t)
@@ -1598,11 +1675,17 @@ class Renderer:
 
         threads = []
         errs = []
+        log = os.environ.get("ASH_COMPILE_LOG")
 
-        def compile_in_thread(lowered):
+        def compile_in_thread(lowered, name=""):
             def run():
                 try:
+                    t0 = time.perf_counter()
                     lowered.compile()
+                    if log:
+                        print(f"[compile] {name} "
+                              f"{time.perf_counter()-t0:.2f}s",
+                              file=sys.stderr)
                 except Exception as e:  # surfaced after join
                     errs.append(e)
 
@@ -1619,16 +1702,16 @@ class Renderer:
                 scene, models, uni.light_space_matrix,
                 uni.cascade_matrices, shadow_pool,
             )
-            compile_in_thread(shadow_low)
+            compile_in_thread(shadow_low, 'shadow')
             ext_spec = shadow_low.out_info
         band_low = band_fn.lower(
             scene, uni, pool, lights, prev_depth, ibl, ext_spec,
         )
-        compile_in_thread(band_low)
+        compile_in_thread(band_low, 'band')
         fin_low = fin_fn.lower(
             spec_of(band_low.out_info), post, taa_params, history,
         )
-        fin_low.compile()
+        compile_in_thread(fin_low, 'finalize')
         for t in threads:
             t.join()
         if errs:

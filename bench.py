@@ -27,15 +27,21 @@ import time
 import numpy as np
 
 
+_hung_watchdogs: list = []
+
+
 def with_timeout(fn, seconds, what):
     """Run `fn` in a daemon thread; give up after `seconds`.
 
     Tunnel-readback watchdog: device->host reads on the tunneled TPU
-    plugin can hang indefinitely after a jax.profiler session (observed
-    2026-08-17: `int(out.covered_pixels)` never returned post-trace). A
-    hung diagnostic must never stop the headline JSON line from
+    plugin can hang indefinitely — observed 2026-08-17 both after a
+    jax.profiler session and sporadically on a plain post-loop counter
+    read. A hung diagnostic must never stop the headline JSON line from
     printing, so every post-timing readback goes through this. Returns
-    (ok, value); the stuck thread is a daemon and won't block exit.
+    (ok, value). A thread stuck inside a PJRT transfer makes normal
+    interpreter teardown call std::terminate ("FATAL: exception not
+    rethrown", exit 134), so main() checks _hung_watchdogs at the end
+    and leaves via os._exit after flushing.
     """
     import threading
 
@@ -53,6 +59,7 @@ def with_timeout(fn, seconds, what):
     if t.is_alive():
         print(f"{what}: gave up after {seconds}s (tunnel readback hang)",
               file=sys.stderr)
+        _hung_watchdogs.append(t)
         return False, None
     if "error" in box:
         print(f"{what} failed: {box['error']}", file=sys.stderr)
@@ -573,6 +580,14 @@ def main():
             )
             sys.exit(1)
         print(f"perf guard OK: {fps:.1f} >= {min_fps} fps", file=sys.stderr)
+
+    if any(t.is_alive() for t in _hung_watchdogs):
+        # A watchdog thread is stuck inside a PJRT transfer; normal
+        # teardown would abort the process (exit 134). Everything is
+        # printed — leave without running destructors.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
