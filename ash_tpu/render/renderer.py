@@ -23,6 +23,7 @@ renderer.rs:1093-1545).
 
 from __future__ import annotations
 
+import atexit
 import dataclasses
 import os
 import sys
@@ -61,6 +62,22 @@ from .temporal_aa import TaaConfig, TemporalAA
 FRAME_LIGHT_DIR = np.array([-0.35, -1.0, -0.25], np.float32)
 FRAME_LIGHT_COLOR = np.full(3, 1.5, np.float32)
 FRAME_AMBIENT = np.full(3, 0.35, np.float32)
+
+
+# Background full-effort compile threads outstanding across all renderers.
+# Joined at interpreter exit: a thread still inside an XLA compile when
+# CPython tears down aborts the process ("FATAL: exception not rethrown",
+# observed on CPU test exits), so atexit waits for them; they are daemons
+# so hard exits (os._exit) stay possible.
+_bg_compile_threads: List = []
+
+
+def _join_bg_compiles():
+    for t in list(_bg_compile_threads):
+        t.join()
+
+
+atexit.register(_join_bg_compiles)
 
 
 def _compile_async(lowered, name, threads, errs):
@@ -1666,6 +1683,7 @@ class Renderer:
         )
         t.start()
         self._fused_threads.append(t)
+        _bg_compile_threads.append(t)
 
     def wait_pipeline_optimization(self, timeout: Optional[float] = None):
         """Block until pending background fused-program compiles finish

@@ -150,13 +150,13 @@ def test_single_trace_cold_start_taa_and_occlusion():
     orig_band = frame_mod.compiled_band
     orig_fin = frame_mod.compiled_finalize
 
-    def band_wrapper(config):
-        fn = orig_band(config)
+    def band_wrapper(config, effort=None):
+        fn = orig_band(config, effort)
         seen.append(("band", fn))
         return fn
 
-    def fin_wrapper(config):
-        fn = orig_fin(config)
+    def fin_wrapper(config, effort=None):
+        fn = orig_fin(config, effort)
         seen.append(("fin", fn))
         return fn
 
@@ -172,6 +172,14 @@ def test_single_trace_cold_start_taa_and_occlusion():
     for kind in ("band", "fin"):
         fns = [fn for k, fn in seen if k == kind]
         assert fns, f"{kind} program never requested"
-        assert len(set(map(id, fns))) == 1, "config changed between frames"
-        traces = fns[0]._cache_size()
-        assert traces == 1, f"{kind} program traced {traces}x (want 1)"
+        # Tiered mode legitimately holds TWO variants per program — the
+        # cold reduced-effort jit serving frames and the full-effort jit
+        # compiled in the background for the race. More than two means
+        # the config churned between frames (the regression this pins).
+        distinct = {id(fn): fn for fn in fns}
+        assert len(distinct) <= 2, "config changed between frames"
+        for fn in distinct.values():
+            traces = fn._cache_size()
+            assert traces <= 1, f"{kind} program traced {traces}x (want 1)"
+        serving = fns[0]  # frame 1's cold-tier jit serves every frame
+        assert serving._cache_size() == 1, "serving program re-traced"
