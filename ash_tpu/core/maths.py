@@ -139,17 +139,47 @@ def look_at_rh(eye, center, up) -> Array:
 
     Reference consumers: camera view (transform.rs:102-104) and the shadow
     light view (shadow_map.rs:233-234).
+
+    The numpy branch is scalarized: this runs per frame per shadow
+    cascade, and np.cross/concatenate/stack on 3-vectors cost ~0.25 ms
+    per call in Python dispatch overhead — ~1 ms/frame of the rich
+    config's host path before this.
     """
     xp = _xp(eye)
-    eye = xp.asarray(eye, dtype=np.float32)
-    f = normalize(xp.asarray(center, dtype=np.float32) - eye)  # forward
-    s = normalize(xp.cross(f, xp.asarray(up, dtype=np.float32)))  # side
-    u = xp.cross(s, f)
-    row0 = xp.concatenate([s, -xp.dot(s, eye)[None]])
-    row1 = xp.concatenate([u, -xp.dot(u, eye)[None]])
-    row2 = xp.concatenate([-f, xp.dot(f, eye)[None]])
-    row3 = xp.asarray([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
-    return xp.stack([row0, row1, row2, row3]).astype(np.float32)
+    if xp is not np:
+        eye = xp.asarray(eye, dtype=np.float32)
+        f = normalize(xp.asarray(center, dtype=np.float32) - eye)
+        s = normalize(xp.cross(f, xp.asarray(up, dtype=np.float32)))
+        u = xp.cross(s, f)
+        row0 = xp.concatenate([s, -xp.dot(s, eye)[None]])
+        row1 = xp.concatenate([u, -xp.dot(u, eye)[None]])
+        row2 = xp.concatenate([-f, xp.dot(f, eye)[None]])
+        row3 = xp.asarray([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
+        return xp.stack([row0, row1, row2, row3]).astype(np.float32)
+
+    ex, ey, ez = (float(v) for v in eye)
+    fx, fy, fz = (float(c) - e for c, e in zip(center, (ex, ey, ez)))
+    n = max((fx * fx + fy * fy + fz * fz) ** 0.5, float(_EPS))
+    fx, fy, fz = fx / n, fy / n, fz / n
+    ux, uy, uz = (float(v) for v in up)
+    sx = fy * uz - fz * uy
+    sy = fz * ux - fx * uz
+    sz = fx * uy - fy * ux
+    n = max((sx * sx + sy * sy + sz * sz) ** 0.5, float(_EPS))
+    sx, sy, sz = sx / n, sy / n, sz / n
+    ux = sy * fz - sz * fy
+    uy = sz * fx - sx * fz
+    uz = sx * fy - sy * fx
+    m = np.array(
+        [
+            [sx, sy, sz, -(sx * ex + sy * ey + sz * ez)],
+            [ux, uy, uz, -(ux * ex + uy * ey + uz * ez)],
+            [-fx, -fy, -fz, fx * ex + fy * ey + fz * ez],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        dtype=np.float32,
+    )
+    return m
 
 
 def perspective_rh(fov_y_radians: float, aspect: float, z_near: float, z_far: float) -> Array:

@@ -887,6 +887,7 @@ class Renderer:
 
         view = np.asarray(view, np.float32)
         proj = np.asarray(proj, np.float32)
+        proj_unjittered = proj
         unjittered_view_proj = (proj @ view).astype(np.float32)
 
         # TAA: advance jitter and perturb the projection
@@ -955,8 +956,11 @@ class Renderer:
 
         cascade_matrices = cascade_splits = None
         if self.csm_manager is not None and self.config.shadows_enabled:
+            # Fit from the UNJITTERED projection: cascades must not wobble
+            # with the TAA sub-pixel jitter (and a static camera then hits
+            # the value cache instead of refitting every frame).
             self.csm_manager.update(
-                view, proj, self.shadow_feature.light_direction,
+                view, proj_unjittered, self.shadow_feature.light_direction,
                 self.config.shadow_distance,
             )
             gpu = self.csm_manager.gpu_data()
@@ -1517,14 +1521,17 @@ class Renderer:
     @staticmethod
     def _args_sig(args) -> tuple:
         """Shape/dtype/structure signature of a frame-program argument
-        tuple — the part of jit's cache key that forces a recompile."""
+        tuple — the part of jit's cache key that forces a recompile.
+        Computed every tiered frame, so it stays allocation-light:
+        PyTreeDef and np.dtype are hashable as-is (stringifying them cost
+        ~0.6 ms/frame of the rich config's host path)."""
         import jax
 
         leaves, treedef = jax.tree_util.tree_flatten(args)
         return (
-            str(treedef),
+            treedef,
             tuple(
-                (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+                (getattr(x, "shape", ()), getattr(x, "dtype", None))
                 for x in leaves
             ),
         )

@@ -59,13 +59,23 @@ class ShadowMapState:
     def __init__(self, config: ShadowConfig | None = None):
         self.config = config or ShadowConfig()
         self.light_space_matrix = maths.mat4_identity()
+        self._update_key = None  # last (dir, center, radius) fitted
 
     @property
     def resolution(self) -> int:
         return self.config.resolution
 
     def update_light_matrix(self, light_dir, scene_center, scene_radius):
-        self.light_space_matrix = directional_light_matrix(
-            light_dir, scene_center, scene_radius
+        # Value-cached: runs every frame on the host, and the inputs only
+        # change when the light or scene bounds move.
+        key = (
+            np.asarray(light_dir, np.float32).tobytes(),
+            np.asarray(scene_center, np.float32).tobytes(),
+            float(scene_radius),
         )
+        if key != self._update_key:
+            self._update_key = key
+            self.light_space_matrix = directional_light_matrix(
+                light_dir, scene_center, scene_radius
+            )
         return self.light_space_matrix
