@@ -361,6 +361,11 @@ class Renderer:
         self._mat_registry_version = 0
         self._submit_sig: Optional[tuple] = None
         self._draw_mat_handles: Optional[list] = None
+        # Dense update_transforms keeps _models_host authoritative and
+        # defers writing matrices back onto the DrawItems (1000 Python
+        # attribute stores ≈ 0.25 ms/frame); readers of item.model call
+        # _sync_item_models() first.
+        self._items_models_stale = False
         # Shadow cache: (key, shadow_map, shadow_overflow) device arrays from
         # the standalone shadow program (render/frame.shadow_program). A
         # static scene under a static light re-renders ZERO shadow texels
@@ -562,13 +567,23 @@ class Renderer:
                     f"transforms shape {arr.shape} != ({len(items)}, 4, 4)"
                 )
             self._models_host[: len(items)] = arr
-            for i, it in enumerate(items):
-                it.model = arr[i]
+            self._items_models_stale = True
         import jax.numpy as jnp
 
         self._models_cache = jnp.asarray(self._models_host)
         self._models_epoch += 1
         self._refresh_scene_bounds()
+
+    def _sync_item_models(self) -> None:
+        """Write the authoritative _models_host matrices back onto the
+        DrawItems before any path that reads item.model (scene rebuilds,
+        the chunked-geometry paths)."""
+        if not self._items_models_stale:
+            return
+        self._items_models_stale = False
+        arr = self._models_host
+        for i, it in enumerate(self.draw_items):
+            it.model = arr[i]
 
     def update_material(self, handle: int, material: Material) -> None:
         """Re-register material `handle` and rewrite its packed rows on
@@ -842,6 +857,7 @@ class Renderer:
         if self._scene_dirty or self._scene is None or (
             self._scene.num_draws != len(items)
         ):
+            self._sync_item_models()
             self._scene = build_scene(items, self.mesh_registry)
             self._scene_dirty = False
             self._scene_epoch += 1
@@ -1214,6 +1230,7 @@ class Renderer:
         Purpose: bound the frame's transient vertex/setup memory so
         instancing scales past the single-program HBM wall (~10^8 triangles
         at 16 GB; instancing.rs:16). Opaque only."""
+        self._sync_item_models()
         import jax.numpy as jnp
 
         from .frame import (
