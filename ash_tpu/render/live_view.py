@@ -293,6 +293,28 @@ class LiveViewSurface:
         self._server.shutdown()
         self._server.server_close()
         self._encoder.join(timeout=5)
+        if self._encoder.is_alive():
+            # Tunneled-TPU pathology: the encoder is stuck inside a
+            # device->host transfer that will never return (see ROADMAP
+            # "Tunnel dispatch pathology"). Normal interpreter teardown
+            # with a thread inside a PJRT transfer aborts the process
+            # ("FATAL: exception not rethrown", exit 134), so leave via
+            # os._exit once Python finishes. Trade-off: a SystemExit
+            # code raised after this point is replaced by 0 — acceptable
+            # against an unconditional abort. Never triggers on CPU or
+            # directly-attached TPU (reads return in microseconds).
+            import atexit
+            import os
+            import sys
+
+            sys.stderr.write(
+                "live view: encoder stuck in a device transfer; process "
+                "will hard-exit after teardown to avoid an abort\n"
+            )
+            atexit.register(
+                lambda: (sys.stdout.flush(), sys.stderr.flush(),
+                         os._exit(0))
+            )
 
     def __enter__(self):
         return self
