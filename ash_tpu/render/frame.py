@@ -409,16 +409,37 @@ def _jit_opts(effort):
 
     `exec_time_optimization_effort` trades XLA optimization time for
     runtime (measured on the rich 1080p programs at -1.0: band compile
-    12.8 -> 10.1 s, finalize 10.7 -> 8.4 s, shadow 6.5 -> 3.9 s, frame
-    runtime +~10%). The tiered pipeline uses it for the programs that
-    serve COLD frames only; full-effort programs compile in the
-    background and take over via the measured race."""
+    12.8 -> 10.1 s, finalize 10.7 -> 8.4 s, frame runtime +~10%). The
+    tiered pipeline uses it for the band+finalize programs that serve
+    COLD frames only; full-effort programs compile in the background and
+    take over via the measured race. The standalone shadow program stays
+    at full effort: its 6.5 s compile runs in a parallel thread UNDER
+    the band's 10.1 s cold wall, so reducing it buys no latency and
+    would cost steady-state shadow speed."""
     if effort is None:
         return {}
     return {"compiler_options": {"exec_time_optimization_effort": effort}}
 
 
-@functools.lru_cache(maxsize=256)
+def _effort_cached(factory):
+    """lru_cache over (config, effort) with the one-arg call normalized:
+    `f(config)` and `f(config, None)` MUST return the same jit object —
+    functools.lru_cache keys the raw call shape, so without this a
+    default-arg call and an explicit-None call would create two separate
+    jits of the same program (and the second one would re-trace and
+    recompile synchronously in the frame loop)."""
+    cached = functools.lru_cache(maxsize=256)(factory)
+
+    @functools.wraps(factory)
+    def wrapper(config, effort=None):
+        return cached(config, effort)
+
+    wrapper.cache_clear = cached.cache_clear
+    wrapper.cache_info = cached.cache_info
+    return wrapper
+
+
+@_effort_cached
 def compiled_shadow(config: FrameConfig, effort: Optional[float] = None):
     """Jitted standalone shadow program for a config."""
     return jax.jit(functools.partial(shadow_program, config),
@@ -905,7 +926,7 @@ def render_frame_program(
     return finalize_frame(config, bo, post, taa_params, history)
 
 
-@functools.lru_cache(maxsize=256)
+@_effort_cached
 def compiled_frame(config: FrameConfig, effort: Optional[float] = None):
     """Jitted frame program for a config (the "pipeline cache" entry).
 
@@ -969,7 +990,7 @@ def merge_band_outputs(a: BandOutputs, b: BandOutputs) -> BandOutputs:
     )
 
 
-@functools.lru_cache(maxsize=256)
+@_effort_cached
 def compiled_band(config: FrameConfig, effort: Optional[float] = None):
     """Jitted raster+shade stage WITHOUT the post chain: the chunked path
     runs one per chunk, merges, then runs compiled_finalize once."""
@@ -988,7 +1009,7 @@ def compiled_merge(config: FrameConfig):
     return jax.jit(merge_band_outputs)
 
 
-@functools.lru_cache(maxsize=256)
+@_effort_cached
 def compiled_finalize(config: FrameConfig, effort: Optional[float] = None):
     fn = functools.partial(finalize_frame, config)
     return jax.jit(fn, **_jit_opts(effort))

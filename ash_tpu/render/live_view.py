@@ -299,10 +299,13 @@ class LiveViewSurface:
             # "Tunnel dispatch pathology"). Normal interpreter teardown
             # with a thread inside a PJRT transfer aborts the process
             # ("FATAL: exception not rethrown", exit 134), so leave via
-            # os._exit once Python finishes. Trade-off: a SystemExit
-            # code raised after this point is replaced by 0 — acceptable
-            # against an unconditional abort. Never triggers on CPU or
-            # directly-attached TPU (reads return in microseconds).
+            # os._exit once Python finishes. An unhandled exception after
+            # this point keeps exit code 1 (tracked via excepthook), so
+            # crashes do not report success; a bare sys.exit(n) code is
+            # still replaced (CPython handles SystemExit without calling
+            # excepthook) — acceptable against an unconditional abort.
+            # Never triggers on CPU or directly-attached TPU (reads
+            # return in microseconds).
             import atexit
             import os
             import sys
@@ -311,9 +314,24 @@ class LiveViewSurface:
                 "live view: encoder stuck in a device transfer; process "
                 "will hard-exit after teardown to avoid an abort\n"
             )
+            exit_code = {"value": 0}
+            prev_hook = sys.excepthook
+
+            def _hook(tp, val, tb):
+                if tp is SystemExit:
+                    code = val.code
+                    exit_code["value"] = (
+                        code if isinstance(code, int)
+                        else (0 if code is None else 1)
+                    )
+                else:
+                    exit_code["value"] = 1
+                prev_hook(tp, val, tb)
+
+            sys.excepthook = _hook
             atexit.register(
                 lambda: (sys.stdout.flush(), sys.stderr.flush(),
-                         os._exit(0))
+                         os._exit(exit_code["value"]))
             )
 
     def __enter__(self):

@@ -73,8 +73,20 @@ _bg_compile_threads: List = []
 
 
 def _join_bg_compiles():
+    deadline = time.monotonic() + 120.0
     for t in list(_bg_compile_threads):
-        t.join()
+        t.join(max(0.0, deadline - time.monotonic()))
+    if any(t.is_alive() for t in _bg_compile_threads):
+        # A compile RPC wedged (tunnel pathology) — joining forever would
+        # hang the process on exit, and normal teardown with the thread
+        # alive aborts it. Hard exit; everything user-visible already ran
+        # (this is the LAST atexit handler: registered at import time,
+        # atexit runs LIFO).
+        print("ash_tpu: background XLA compile wedged at exit; "
+              "hard-exiting to avoid teardown abort", file=sys.stderr)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 atexit.register(_join_bg_compiles)
@@ -406,6 +418,7 @@ class Renderer:
         """Single-mesh path (reference renderer.rs:823-913)."""
         self._single_mesh_key = self._register_mesh(mesh)
         self.draw_items = []  # rebuilt per-frame from (mesh, transform, material)
+        self._items_models_stale = False  # see submit_render_commands
         self._scene_dirty = True
 
     def material_mut(self) -> Material:
@@ -493,6 +506,11 @@ class Renderer:
                 -1 if cmd.material is None else int(cmd.material)
             )
         self.draw_items = items
+        # The new DrawItems carry their own authoritative transforms; a
+        # pending deferred writeback from the PREVIOUS draw list must not
+        # stamp the old _models_host onto them (wrong transforms, or an
+        # IndexError when the list grew).
+        self._items_models_stale = False
         self._draw_mat_handles = mat_handles
         self._submit_sig = sig
         self._scene_dirty = True
@@ -582,6 +600,8 @@ class Renderer:
             return
         self._items_models_stale = False
         arr = self._models_host
+        if arr is None or len(arr) < len(self.draw_items):
+            return  # draw list replaced since the update; items are fresh
         for i, it in enumerate(self.draw_items):
             it.model = arr[i]
 
@@ -1699,8 +1719,23 @@ class Renderer:
                 if errs:
                     raise errs[0]
                 ent["state"] = "ready"
-            except Exception:  # stay on the cold split path forever
-                ent["state"] = "failed"
+            except Exception as e:
+                # Stay on the cold split path, but say so: with the
+                # cold-effort tier this pins ~10%-slower frames, which
+                # must be observable and retryable (once — a persistent
+                # compiler error should not loop forever).
+                print(f"ash_tpu: background full-effort compile failed "
+                      f"({e!r}); frames stay on the cold split programs",
+                      file=sys.stderr)
+                if ent.get("retried"):
+                    ent["state"] = "failed"
+                else:
+                    ent["retried"] = True
+                    ent["state"] = "compiling"
+                    try:
+                        run()
+                    except Exception:
+                        ent["state"] = "failed"
 
         t = threading.Thread(
             target=run, name="ash-full-compile", daemon=True

@@ -492,8 +492,11 @@ def main():
     except Exception:
         pass
     if args.save:
-        surface.save_png(args.save)
-        print(f"saved {args.save}", file=sys.stderr)
+        ok, _ = with_timeout(
+            lambda: surface.save_png(args.save), 120, "--save readback"
+        )
+        if ok:
+            print(f"saved {args.save}", file=sys.stderr)
 
     if args.trace is None:
         # Default: trace the inline plain-headline config only (the extras
@@ -578,16 +581,20 @@ def main():
                 f"({key}) — a frame-path commit regressed performance",
                 file=sys.stderr,
             )
-            sys.exit(1)
+            _exit_bench(1)
         print(f"perf guard OK: {fps:.1f} >= {min_fps} fps", file=sys.stderr)
+    _exit_bench(0)
 
+
+def _exit_bench(code):
+    """Exit preserving `code` even when a watchdog thread is stuck inside
+    a PJRT transfer — normal teardown with such a thread aborts the
+    process (exit 134, losing the guard's clean nonzero exit)."""
     if any(t.is_alive() for t in _hung_watchdogs):
-        # A watchdog thread is stuck inside a PJRT transfer; normal
-        # teardown would abort the process (exit 134). Everything is
-        # printed — leave without running destructors.
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(code)
+    sys.exit(code)
 
 
 if __name__ == "__main__":

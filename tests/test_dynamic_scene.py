@@ -240,3 +240,38 @@ def test_update_transforms_before_first_frame():
     t1 = make_transforms(3, seed=13)
     r.update_transforms(np.stack(t1))  # scene not built yet
     np.testing.assert_array_equal(render(r), fresh_image(t1))
+
+
+def test_resubmit_larger_list_after_dense_update():
+    """A dense update defers the DrawItem writeback; replacing the draw
+    list afterwards (different signature / size) must not stamp the OLD
+    scene's matrices onto the new items (was: IndexError when the list
+    grew, silent wrong transforms when equal-sized)."""
+    r = make_renderer()
+    register_mat(r)
+    t0 = make_transforms(2, seed=3)
+    r.submit_render_commands(commands(t0))
+    render(r)
+    r.update_transforms(np.stack(make_transforms(2, seed=4)))
+    render(r)
+    # Replace with a LARGER list — the old 2-row _models_host must not be
+    # applied to 3 items.
+    t1 = make_transforms(3, seed=5)
+    r.submit_render_commands(commands(t1))
+    np.testing.assert_array_equal(render(r), fresh_image(t1))
+
+
+def test_resubmit_same_size_new_signature_after_dense_update():
+    """Equal-sized replacement with a different signature (new material
+    handle) must render the NEW transforms, not the stale _models_host."""
+    r = make_renderer()
+    register_mat(r)
+    t0 = make_transforms(3, seed=6)
+    r.submit_render_commands(commands(t0))
+    render(r)
+    r.update_transforms(np.stack(make_transforms(3, seed=7)))
+    render(r)
+    h2 = register_mat(r, handle=2)  # new handle -> different submit sig
+    t1 = make_transforms(3, seed=8)
+    r.submit_render_commands(commands(t1, material=h2))
+    np.testing.assert_array_equal(render(r), fresh_image(t1))

@@ -166,3 +166,41 @@ def test_scene_reshape_falls_back_to_split():
 def test_invalid_pipeline_mode_rejected():
     with pytest.raises(ValueError):
         RendererConfig(pipeline_mode="eager")
+
+
+def test_effort_cache_normalizes_default_and_explicit_none():
+    """compiled_band(cfg) and compiled_band(cfg, None) must be the SAME
+    jit object — lru_cache keys raw call shapes, and two separate jits of
+    the same program meant cold_compile_effort=None hit a synchronous
+    re-trace + full compile in the frame loop at promotion time."""
+    from ash_tpu.render.frame import (
+        FrameConfig,
+        compiled_band,
+        compiled_finalize,
+        compiled_frame,
+        compiled_shadow,
+    )
+
+    cfg = FrameConfig(width=32, height=16)
+    for f in (compiled_band, compiled_finalize, compiled_frame,
+              compiled_shadow):
+        assert f(cfg) is f(cfg, None), f.__name__
+        assert f(cfg) is not f(cfg, -1.0), f.__name__
+
+
+def test_tiered_with_cold_effort_disabled():
+    """cold_compile_effort=None must serve, race, and promote without a
+    duplicate program compile (the serving jits ARE the race's split)."""
+    r, surface = _make_renderer(pipeline_mode="tiered",
+                                cold_compile_effort=None)
+    view, proj, pos = _cam()
+    r.render_frame(view, proj, pos)
+    img0 = surface.read_back().copy()
+    assert r.wait_pipeline_optimization(timeout=180)
+    for _ in range(2):
+        r.render_frame(view, proj, pos)
+    (decision,) = r.pipeline_decisions.values()
+    assert decision["winner"] in ("fused", "split")
+    diff = np.abs(img0.astype(np.int16)
+                  - surface.read_back().astype(np.int16))
+    assert diff.max() <= 1
