@@ -388,6 +388,7 @@ class Renderer:
         self._chunk_items: Optional[list] = None
         self._chunk_models: Optional[list] = None
         self._prev_chunk_models: Optional[list] = None
+        self._chunk_warmed: set = set()  # (config, scene_epoch) warmed
         self.frame_count = 0
         self._start_time = time.perf_counter()
         self._last_frame_time = self._start_time
@@ -1402,6 +1403,23 @@ class Renderer:
             ),
         )
 
+        post = PostParams(
+            exposure=np.float32(self.tonemapping_exposure),
+            gamma=np.float32(self.tonemapping_gamma),
+            bloom_intensity=np.float32(self.bloom_intensity),
+            bloom_threshold=np.float32(self.bloom_threshold),
+            bloom_soft_knee=np.float32(0.5),
+        )
+        shadow_pool = (
+            pool if (config.alpha_test and config.textured) else None
+        )
+        warm_key = (config, self._scene_epoch)
+        if warm_key not in self._chunk_warmed:
+            self._warm_chunked(
+                config, base_uni, pool, shadow_pool, post, taa_params,
+            )
+            self._chunk_warmed.add(warm_key)
+
         # Per-chunk shadow maps, min-merged; cached like the unchunked path.
         ext_shadow = None
         if config.shadow_enabled:
@@ -1415,9 +1433,6 @@ class Renderer:
             if self._shadow_cache is not None and self._shadow_cache[0] == key:
                 ext_shadow = (self._shadow_cache[1], self._shadow_cache[2])
             else:
-                shadow_pool = (
-                    pool if (config.alpha_test and config.textured) else None
-                )
                 acc = None
                 for s, m in zip(self._chunk_scenes, self._chunk_models):
                     pair = compiled_shadow(config)(
@@ -1454,13 +1469,6 @@ class Renderer:
             )
             acc = bo if acc is None else compiled_merge(config)(acc, bo)
 
-        post = PostParams(
-            exposure=np.float32(self.tonemapping_exposure),
-            gamma=np.float32(self.tonemapping_gamma),
-            bloom_intensity=np.float32(self.bloom_intensity),
-            bloom_threshold=np.float32(self.bloom_threshold),
-            bloom_soft_knee=np.float32(0.5),
-        )
         outputs = compiled_finalize(config)(
             acc, post, taa_params,
             self._taa_history if taa_params is not None else None,
@@ -1835,6 +1843,99 @@ class Renderer:
             lights, prev_depth, self._ibl, ext_spec,
         )
         _compile_async(frame_low, "frame", threads, errs)
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+
+    def _warm_chunked(self, config, base_uni, pool, shadow_pool, post,
+                      taa_params) -> None:
+        """Cold-start compile of every distinct chunked-frame program in
+        parallel threads: per-chunk shadow + band (chunk scenes dedupe to
+        at most two shapes — the full chunk and the remainder), the two
+        merge programs, and finalize. These compiled serially on first
+        use (5-7 programs x 30-100 s each at mega-instancing sizes on
+        the chip); the parallel warm's wall is the largest single
+        compile, same mechanism as _warm_post_split/_warm_plain."""
+        import jax
+
+        from .frame import (
+            compiled_band,
+            compiled_finalize,
+            compiled_merge,
+            compiled_shadow,
+            compiled_shadow_merge,
+        )
+
+        def spec_of(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+            )
+
+        threads = []
+        errs = []
+        uniq = {}
+        for ci, (s, m) in enumerate(
+            zip(self._chunk_scenes, self._chunk_models)
+        ):
+            sig = tuple(
+                (tuple(x.shape), str(x.dtype))
+                for x in jax.tree_util.tree_leaves(s.buffers)
+            )
+            uniq.setdefault(sig, (ci, s, m))
+        multi = len(self._chunk_scenes) > 1
+
+        ext_spec = None
+        if config.shadow_enabled:
+            for ci, s, m in uniq.values():
+                low = compiled_shadow(config).lower(
+                    s.buffers, m, base_uni.light_space_matrix, None,
+                    shadow_pool,
+                )
+                _compile_async(low, f"chunk-shadow[{ci}]", threads, errs)
+                if ext_spec is None:
+                    # The shadow map/overflow shapes are chunk-invariant.
+                    ext_spec = spec_of(low.out_info)
+            if multi:
+                _compile_async(
+                    compiled_shadow_merge(config).lower(ext_spec, ext_spec),
+                    "chunk-shadow-merge", threads, errs,
+                )
+        band_spec = None
+        prev_models = self._prev_chunk_models
+        for ci, s, m in uniq.values():
+            uni = base_uni._replace(
+                models=m,
+                prev_models=(
+                    (
+                        prev_models[ci]
+                        if prev_models is not None
+                        and prev_models[ci].shape == m.shape
+                        else m
+                    )
+                    if taa_params is not None
+                    else None
+                ),
+            )
+            low = compiled_band(config).lower(
+                s.buffers, uni, pool, None, None, self._ibl, ext_spec,
+            )
+            _compile_async(low, f"chunk-band[{ci}]", threads, errs)
+            if band_spec is None:
+                # Band outputs are screen-space: chunk-invariant shapes.
+                band_spec = spec_of(low.out_info)
+        if multi:
+            _compile_async(
+                compiled_merge(config).lower(band_spec, band_spec),
+                "chunk-merge", threads, errs,
+            )
+        _compile_async(
+            compiled_finalize(config).lower(
+                band_spec, post, taa_params,
+                self._taa_history if taa_params is not None else None,
+            ),
+            "chunk-finalize", threads, errs,
+        )
         for t in threads:
             t.join()
         if errs:
