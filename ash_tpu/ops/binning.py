@@ -244,9 +244,15 @@ def bin_triangles_two_level(
         .reshape(ty_p, tx_p)[:ty, :tx]
         .reshape(ty * tx)
     )
-    overflow = jnp.maximum(
-        jnp.max(counts_full) - max_per_tile, 0
+    # Overflow over the REAL fine grid only: the (ty_p, tx_p) pad tiles lie
+    # off-screen, yet unclamped bboxes (screen-edge and near-plane-crossing
+    # triangles get full-screen boxes) land candidates in them — counting
+    # those reported phantom drops (taint pixel + stats) for triangles
+    # whose real tiles were fine.
+    counts_real = (
+        counts_full.transpose(0, 2, 1, 3).reshape(ty_p, tx_p)[:ty, :tx]
     )
+    overflow = jnp.maximum(jnp.max(counts_real) - max_per_tile, 0)
     # Coarse drops also lose triangles (they never reach the fine pass).
     overflow = jnp.maximum(overflow, coarse.overflow)
     return TileBins(tri_ids=fine_ids, counts=counts, overflow=overflow)

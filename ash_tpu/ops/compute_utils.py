@@ -45,14 +45,14 @@ def prefix_sum_compact(mask: jnp.ndarray, capacity: int):
     slots = exclusive_prefix_sum(mask.astype(jnp.int32))
     count = jnp.sum(mask.astype(jnp.int32))
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    out = jnp.full((capacity,), -1, jnp.int32)
-    write_to = jnp.where(mask, jnp.minimum(slots, capacity - 1), capacity - 1)
-    # Scatter in reverse-id order so the FIRST masked id wins each slot.
-    out = out.at[write_to[::-1]].set(jnp.where(mask, idx, -1)[::-1])
-    # Slots beyond count stay -1.
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
-    out = jnp.where(slot_iota < jnp.minimum(count, capacity), out, -1)
-    return out, jnp.minimum(count, capacity)
+    # One dump slot past the end absorbs every non-write (unmasked ids and
+    # masked ids beyond capacity), so each REAL slot is written by at most
+    # one id — no reliance on JAX's undefined duplicate-scatter ordering,
+    # and a full buffer (count == capacity) keeps its last entry intact.
+    out = jnp.full((capacity + 1,), -1, jnp.int32)
+    write_to = jnp.where(mask & (slots < capacity), slots, capacity)
+    out = out.at[write_to].set(idx)
+    return out[:capacity], jnp.minimum(count, capacity)
 
 
 def extract_frustum_planes(view_proj: jnp.ndarray) -> jnp.ndarray:

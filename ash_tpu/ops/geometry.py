@@ -139,7 +139,11 @@ def transform_vertices(
                    precision="highest", preferred_element_type=jnp.float32)
         + view_proj[:, 3]
     )
-    nmat = inverse_transpose_3x3(m[:, :3, :3])  # (V, 3, 3)
+    # Per-DRAW inverse-transpose, then gather: the adjugate+det is ~30
+    # flops and XLA cannot CSE it across the `models[vert_draw]` gather,
+    # so computing it on the (Ve, 3, 3) expanded matrices redid it
+    # millions of times for only D distinct draws at instancing scale.
+    nmat = inverse_transpose_3x3(models[:, :3, :3])[vert_draw]  # (Ve, 3, 3)
     n = jnp.einsum("vij,vj->vi", nmat, normals,
                    precision="highest", preferred_element_type=jnp.float32)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)

@@ -31,13 +31,36 @@ class HizPyramid(NamedTuple):
         return self.texels[off : off + w * h].reshape(h, w)
 
 
+def _fold_odd_max(d: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Max-fold the trailing element of an odd-length axis into the last
+    kept pair, so the 2x2 reduction below never DROPS it. (The previous
+    `d[:ph, :pw]` truncation silently discarded the last row/col of every
+    odd level >= 3 — far depths at the screen edge vanished from the
+    pyramid and the occlusion test falsely culled visible objects there.)
+    Floor-sized levels are kept (matching the reference's mip dims,
+    hiz_generate.comp); folding beats padding because the uv->texel
+    mapping of sample_level stays exact."""
+    n = d.shape[axis]
+    if n <= 1 or n % 2 == 0:
+        return d
+    import jax
+
+    sl = [slice(None)] * d.ndim
+    sl[axis] = slice(0, n - 1)
+    main = d[tuple(sl)]
+    sl[axis] = slice(n - 1, n)
+    last = d[tuple(sl)]
+    sl[axis] = slice(n - 2, n - 1)
+    merged = jnp.maximum(d[tuple(sl)], last)
+    return jax.lax.dynamic_update_slice_in_dim(main, merged, n - 2, axis)
+
+
 def _downsample_max(d: jnp.ndarray) -> jnp.ndarray:
+    d = _fold_odd_max(_fold_odd_max(d, 0), 1)
     h, w = d.shape
     nh, nw = max(h // 2, 1), max(w // 2, 1)
-    ph, pw = nh * 2, nw * 2
-    if h < ph or w < pw:
-        d = jnp.pad(d, ((0, ph - h), (0, pw - w)), constant_values=1.0)
-    d = d[:ph, :pw]
+    if nh * 2 > h or nw * 2 > w:  # a dimension of exactly 1
+        d = jnp.pad(d, ((0, nh * 2 - h), (0, nw * 2 - w)), mode="edge")
     return d.reshape(nh, 2, nw, 2).max(axis=(1, 3))
 
 

@@ -93,9 +93,16 @@ def build_pool(
             table[ti, li] = (offset, w, h)
             texel_rows.append(mip.reshape(-1, 4).astype(np.float32))
             offset += h * w
-        # Defensive: point skipped levels at the finest resident mip.
+        # Skipped (non-resident) levels: offset redirects to the finest
+        # resident mip (defensive — sample_trilinear clamps LOD to
+        # min_level, so these rows are never fetched), but their (w, h)
+        # stay the TRUE level dims: ops/shade._sample_map computes the
+        # screen footprint from table[idx, 0], and redirected dims made
+        # the LOD come out min_level levels too fine on every streamed
+        # texture (aliasing that silently worsened as residency dropped).
         for li in range(lo):
-            table[ti, li] = table[ti, lo]
+            h, w = pyramid[li].shape[:2]
+            table[ti, li] = (table[ti, lo][0], w, h)
     texels = np.concatenate(texel_rows, axis=0)
     if arena_texels is not None:
         if offset > arena_texels:
