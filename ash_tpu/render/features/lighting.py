@@ -86,5 +86,14 @@ class LightingFeature(RenderFeature):
 
     def clear_point_lights(self) -> None:
         self.point_lights.clear()
+        self.version += 1
+
+    def clear_spot_lights(self) -> None:
+        self.spot_lights.clear()
+        self.version += 1
+
+    def clear_lights(self) -> None:
+        """Remove every point AND spot light."""
+        self.point_lights.clear()
         self.spot_lights.clear()
         self.version += 1

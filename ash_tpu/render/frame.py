@@ -1004,9 +1004,16 @@ def compiled_band(config: FrameConfig, effort: Optional[float] = None):
     return jax.jit(fn, **_jit_opts(effort))
 
 
-@functools.lru_cache(maxsize=256)
-def compiled_merge(config: FrameConfig):
+@functools.lru_cache(maxsize=1)
+def _merge_jit():
     return jax.jit(merge_band_outputs)
+
+
+def compiled_merge(config: FrameConfig = None):
+    """Config-independent (jit specializes on argument shapes, which carry
+    everything the merge needs) — one cached jit serves every config,
+    instead of re-tracing an identical program per FrameConfig."""
+    return _merge_jit()
 
 
 @_effort_cached
@@ -1015,9 +1022,14 @@ def compiled_finalize(config: FrameConfig, effort: Optional[float] = None):
     return jax.jit(fn, **_jit_opts(effort))
 
 
-@functools.lru_cache(maxsize=256)
-def compiled_shadow_merge(config: FrameConfig):
-    """min-merge of per-chunk shadow depth maps (+ max of overflows)."""
+@functools.lru_cache(maxsize=1)
+def _shadow_merge_jit():
     return jax.jit(
         lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1]))
     )
+
+
+def compiled_shadow_merge(config: FrameConfig = None):
+    """min-merge of per-chunk shadow depth maps (+ max of overflows).
+    Config-independent — see compiled_merge."""
+    return _shadow_merge_jit()

@@ -86,5 +86,15 @@ class KernelWatcher:
                 importlib.reload(sys.modules[name])
                 log.info("hot-reloaded %s", name)
         frame_mod = importlib.reload(sys.modules[_WATCHED_MODULES[-1]])
-        frame_mod.compiled_frame.cache_clear()
+        # Drop EVERY cached program, not just the fused frame — the split/
+        # shadow/merge factories hold jits of the pre-reload kernels.
+        for factory in (
+            frame_mod.compiled_frame,
+            frame_mod.compiled_band,
+            frame_mod.compiled_finalize,
+            frame_mod.compiled_shadow,
+            frame_mod._merge_jit,
+            frame_mod._shadow_merge_jit,
+        ):
+            factory.cache_clear()
         return frame_mod

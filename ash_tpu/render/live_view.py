@@ -166,7 +166,10 @@ class LiveViewSurface:
             else:
                 while len(self._pending) >= self._depth and not self._closing:
                     self._lock.wait(0.1)
-                self._pending.append(frame)
+                if self._closing:  # encoder gone: drop instead of queueing
+                    self.dropped_frames += 1
+                else:
+                    self._pending.append(frame)
             self._lock.notify_all()
 
     def read_back(self) -> Optional[np.ndarray]:
@@ -177,21 +180,35 @@ class LiveViewSurface:
 
     # --- encoder thread -------------------------------------------------
     def _encode_loop(self) -> None:
-        while True:
+        try:
+            while True:
+                with self._lock:
+                    while not self._pending and not self._closing:
+                        self._lock.wait(0.25)
+                    if self._closing and not self._pending:
+                        return
+                    frame = self._pending.pop(0)
+                    self._lock.notify_all()  # unblock fifo present()
+                pixels = np.asarray(frame)  # device->host OFF render thread
+                data = _encode(pixels, self._fmt, self._quality)
+                with self._lock:
+                    self._encoded = data
+                    self._encoded_seq += 1
+                    self.encoded_frames += 1
+                    self._lock.notify_all()  # wake stream clients
+        except Exception as e:
+            # A dead encoder must not be silent: in fifo mode present()
+            # blocks on the queue this thread drains, so dying quietly
+            # would deadlock the application's render loop forever.
+            import sys
+
+            print(f"live view: encoder thread died: {e!r}; "
+                  f"streaming stops, present() will not block",
+                  file=sys.stderr)
             with self._lock:
-                while not self._pending and not self._closing:
-                    self._lock.wait(0.25)
-                if self._closing and not self._pending:
-                    return
-                frame = self._pending.pop(0)
-                self._lock.notify_all()  # unblock fifo present()
-            pixels = np.asarray(frame)  # device->host OFF the render thread
-            data = _encode(pixels, self._fmt, self._quality)
-            with self._lock:
-                self._encoded = data
-                self._encoded_seq += 1
-                self.encoded_frames += 1
-                self._lock.notify_all()  # wake stream clients
+                self._closing = True  # present()/clients stop waiting
+                self._pending.clear()
+                self._lock.notify_all()
 
     # --- HTTP -------------------------------------------------------------
     def _wait_frame(self, after_seq: int, timeout: float = 5.0):

@@ -72,6 +72,20 @@ FRAME_AMBIENT = np.full(3, 0.35, np.float32)
 _bg_compile_threads: List = []
 
 
+_exit_code_seen = {"value": 0}
+_prev_excepthook = sys.excepthook
+
+
+def _track_crash_exit(tp, val, tb):
+    # If the process is crashing, a later hard-exit (below) must not
+    # report success to CI.
+    _exit_code_seen["value"] = 1
+    _prev_excepthook(tp, val, tb)
+
+
+sys.excepthook = _track_crash_exit
+
+
 def _join_bg_compiles():
     deadline = time.monotonic() + 120.0
     for t in list(_bg_compile_threads):
@@ -81,12 +95,15 @@ def _join_bg_compiles():
         # hang the process on exit, and normal teardown with the thread
         # alive aborts it. Hard exit; everything user-visible already ran
         # (this is the LAST atexit handler: registered at import time,
-        # atexit runs LIFO).
+        # atexit runs LIFO). The exit code keeps 1 if an unhandled
+        # exception crashed the process (excepthook above); a bare
+        # sys.exit(n) code is still replaced — acceptable against an
+        # unconditional abort (exit 134).
         print("ash_tpu: background XLA compile wedged at exit; "
               "hard-exiting to avoid teardown abort", file=sys.stderr)
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(_exit_code_seen["value"])
 
 
 atexit.register(_join_bg_compiles)
@@ -484,6 +501,12 @@ class Renderer:
                 return
         else:
             sig = None
+            if not self.draw_items:
+                # Already on the single-mesh fallback: a per-frame empty
+                # submit (reference renderer.rs:1066-1090 semantics) must
+                # not dirty the scene — that would rebuild buffers and
+                # drop the shadow cache every frame.
+                return
         items: List[DrawItem] = []
         mat_handles: List[int] = []
         for cmd in commands:
@@ -538,7 +561,14 @@ class Renderer:
             # Chunked-geometry scene: refresh the per-chunk model arrays.
             if isinstance(transforms, dict):
                 for i, mm in transforms.items():
-                    items[int(i)].model = np.asarray(mm, np.float32)
+                    i = int(i)
+                    if not (0 <= i < len(items)):
+                        raise InvalidOperation(
+                            f"draw index {i} out of range"
+                        )
+                    items[i].model = np.asarray(
+                        mm, np.float32
+                    ).reshape(4, 4)
             else:
                 arr = np.asarray(transforms, np.float32)
                 if arr.shape != (len(items), 4, 4):
@@ -561,7 +591,12 @@ class Renderer:
             # render_frame packs everything anyway.
             if isinstance(transforms, dict):
                 for i, m in transforms.items():
-                    items[int(i)].model = np.asarray(m, np.float32)
+                    i = int(i)
+                    if not (0 <= i < len(items)):
+                        raise InvalidOperation(
+                            f"draw index {i} out of range"
+                        )
+                    items[i].model = np.asarray(m, np.float32).reshape(4, 4)
             else:
                 arr = np.asarray(transforms, np.float32)
                 for i, it in enumerate(items):
@@ -614,6 +649,24 @@ class Renderer:
         handle = int(handle)
         self.material_handles[handle] = material
         self._mat_registry_version += 1
+        if (
+            self._chunk_scenes is not None
+            and self._scene is None
+            and self.draw_items
+            and self._draw_mat_handles is not None
+        ):
+            # Chunked-geometry mode: the packed rows live in per-chunk
+            # SceneBuffers. Update the items and mark the scene dirty so
+            # the next frame rebuilds the chunks — heavier than the
+            # fused path's row rewrite, but silently keeping stale
+            # materials (the previous behavior) is wrong.
+            for i, h in enumerate(self._draw_mat_handles):
+                if h == handle:
+                    it = self.draw_items[i]
+                    mesh = self.mesh_registry[it.mesh_key]
+                    it.material = self._material_uniform(material, mesh)
+            self._scene_dirty = True
+            return
         if (
             self._scene is None
             or self._scene_dirty
@@ -844,6 +897,14 @@ class Renderer:
             if changed:
                 frame_mod = self._kernel_watcher.reload(changed)
                 self._compiled_frame = frame_mod.compiled_frame
+                # The reloaded module's jit caches are empty: every warm/
+                # tiered record refers to executables that no longer
+                # exist. Re-warm and re-race against the new kernels
+                # instead of stalling the loop on a synchronous compile
+                # of a "ready" pipeline.
+                self._split_warmed.clear()
+                self._chunk_warmed.clear()
+                self._fused_bg.clear()
 
         self._resize_if_needed()
 
@@ -2087,6 +2148,7 @@ class Renderer:
         scene = self._scene
         if scene is None or not scene.has_lods:
             return stats
+        self._sync_item_models()  # build_models reads item.model
         items = self._current_draw_items()
         models = build_models(items, len(items))
         view = np.asarray(view, np.float32)
@@ -2130,6 +2192,7 @@ class Renderer:
         render/pass_profiler.py). Serializes the pipeline — use on demand."""
         from .pass_profiler import profile_passes
 
+        self._sync_item_models()  # the profiler packs from item.model
         return profile_passes(self, view, proj, camera_pos, n=n)
 
     def set_diagnostics_mode(self, mode) -> None:
@@ -2178,7 +2241,16 @@ class Renderer:
         )
 
     def clear_point_lights(self) -> None:
+        """Remove point lights only (spot lights keep rendering; use
+        clear_spot_lights / clear_lights for the rest — previously this
+        silently cleared spots too)."""
         self.lighting_feature.clear_point_lights()
+
+    def clear_spot_lights(self) -> None:
+        self.lighting_feature.clear_spot_lights()
+
+    def clear_lights(self) -> None:
+        self.lighting_feature.clear_lights()
 
     # ------------------------------------------------------------------
     # Post-processing API (reference renderer.rs:2067-2164)

@@ -65,13 +65,33 @@ class TemporalAA:
     def jitter_projection(
         self, projection: np.ndarray, width: int, height: int
     ) -> np.ndarray:
-        """Perturb proj[0,3]/proj[1,3] by 2*jitter/screen
-        (temporal_aa.rs:144-156; glam w_axis.xy == rows 0-1, col 3)."""
+        """Perturb the projection so NDC shifts by a CONSTANT 2*jitter/screen.
+
+        Deviation from the reference (temporal_aa.rs:144-156, which adds
+        the offset to w_axis.xy — the translation column): under a
+        perspective matrix w_clip = ±z_view, so a translation-column
+        offset lands jitter/|z| PIXELS on screen — depth-dependent, while
+        the TAA resolve compensates with the full constant jitter
+        (taa_resolve's unjitter + reprojection fallback). Distant
+        geometry would receive almost no jitter yet be "corrected" by the
+        full amount. The reference never wired TAA into its frame loop,
+        so the quirk was latent there; we perturb the Z COLUMN scaled by
+        proj[3,2] (x_clip += j*w_clip => ndc_x += j exactly, any w = ±z
+        convention, Y-flip-safe). Orthographic projections (w_clip = 1)
+        keep the reference's translation-column form, which is exact
+        there."""
         if not self.config.enabled:
             return projection
         j = np.array(projection, np.float32, copy=True)
-        j[0, 3] += self.current_jitter[0] * 2.0 / width
-        j[1, 3] += self.current_jitter[1] * 2.0 / height
+        jx = self.current_jitter[0] * 2.0 / width
+        jy = self.current_jitter[1] * 2.0 / height
+        wz = float(projection[3, 2])  # w_clip = wz * z_view (perspective)
+        if wz != 0.0:
+            j[0, 2] += jx * wz
+            j[1, 2] += jy * wz
+        else:  # orthographic: w_clip == 1, translation column is exact
+            j[0, 3] += jx
+            j[1, 3] += jy
         return j
 
     def params(self):

@@ -76,3 +76,54 @@ def test_object_motion_velocity():
     # History must still be produced and image valid.
     img = r.read_back()
     assert img is not None and img.shape == (64, 96, 4)
+
+
+def test_jitter_is_constant_in_ndc_for_perspective():
+    """The TAA jitter must shift NDC by exactly 2*jitter/screen at EVERY
+    depth. The reference adds the offset to the translation column
+    (temporal_aa.rs:144-156), which under a perspective matrix divides by
+    w = |z| — distant geometry got almost no jitter while the resolve
+    compensated the full amount (the reference never wired TAA, so the
+    quirk was latent there; documented deviation)."""
+    from ash_tpu.core import maths
+    from ash_tpu.render.temporal_aa import TaaConfig, TemporalAA
+
+    taa = TemporalAA(TaaConfig(enabled=True))
+    taa.begin_frame()
+    proj = maths.perspective_rh(np.deg2rad(60), 16 / 9, 0.1, 100.0)
+    pj = taa.jitter_projection(proj, 1920, 1080)
+    expect = taa.current_jitter * np.array([2.0 / 1920, 2.0 / 1080])
+    for z in (-0.5, -5.0, -50.0):
+        v = np.array([0.3, -0.2, z, 1.0], np.float32)
+        a = proj @ v
+        b = pj @ v
+        ndc_shift = b[:2] / b[3] - a[:2] / a[3]
+        np.testing.assert_allclose(ndc_shift, expect, atol=1e-6)
+    # Orthographic projections keep the exact translation-column form.
+    ortho = maths.orthographic_rh(-1, 1, -1, 1, 0.1, 10.0)
+    po = taa.jitter_projection(ortho, 1920, 1080)
+    for z in (-0.5, -5.0):
+        v = np.array([0.3, -0.2, z, 1.0], np.float32)
+        shift = (po @ v)[:2] / (po @ v)[3] - (ortho @ v)[:2] / (ortho @ v)[3]
+        np.testing.assert_allclose(shift, expect, atol=1e-6)
+
+
+def test_clear_point_lights_keeps_spot_lights():
+    surface = HeadlessSurface(96, 64)
+    r = Renderer(surface, RendererConfig(
+        tile_h=8, tile_w=32, max_tris_per_tile=32, shadows_enabled=False))
+    r.set_mesh(Mesh.create_cube())
+    cam = Camera.new([0, 1.5, 5], [0, 0, 0], 96 / 64)
+    v, p = cam.view_matrix(), cam.projection_matrix()
+    base = np.asarray(r.render_frame(v, p, cam.position).image).copy()
+    r.add_spot_light([0, 3, 3], direction=[0, -1, -1], color=[1, 0, 0],
+                     intensity=8.0, radius=12.0)
+    lit = np.asarray(r.render_frame(v, p, cam.position).image).copy()
+    assert not np.array_equal(base, lit), "spot light had no effect"
+    r.add_point_light([2, 2, 2], color=[0, 1, 0], intensity=5.0, radius=8.0)
+    r.clear_point_lights()  # must NOT remove the spot light
+    still_lit = np.asarray(r.render_frame(v, p, cam.position).image)
+    np.testing.assert_array_equal(lit, still_lit)
+    r.clear_lights()
+    dark = np.asarray(r.render_frame(v, p, cam.position).image)
+    np.testing.assert_array_equal(base, dark)
