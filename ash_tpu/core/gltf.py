@@ -82,11 +82,19 @@ def read_accessor(gltf: dict, binary: bytes, index: int) -> np.ndarray:
     if stride == item:
         out = np.frombuffer(raw, dtype=dtype, count=count * n).reshape(count, n)
     else:
-        out = np.zeros((count, n), dtype)
-        for i in range(count):
-            out[i] = np.frombuffer(raw, dtype, n, i * stride)
+        # Interleaved vertex buffer: decode all elements in one shot
+        # (a per-vertex Python loop cost seconds on million-vertex GLBs).
+        raw = raw + b"\x00" * (stride * count - len(raw))
+        out = (
+            np.frombuffer(raw, np.uint8)
+            .reshape(count, stride)[:, :item]
+            .copy()
+            .view(dtype)
+        )
     if acc.get("normalized") and dtype != np.float32:
-        out = out.astype(np.float32) / np.iinfo(dtype).max
+        # glTF normalization: c / max, clamped to -1 for signed types
+        # (value -2^(b-1) would otherwise decode past -1.0).
+        out = np.maximum(out.astype(np.float32) / np.iinfo(dtype).max, -1.0)
     return out
 
 
@@ -158,7 +166,11 @@ def load_glb_mesh(path_or_bytes) -> "Mesh":  # noqa: F821
         indices = indices.astype(np.uint32)
 
     # Material factors + textures (mesh.rs:signature of 5 PBR maps).
-    props = MaterialProperties()
+    # No material reference = the glTF DEFAULT MATERIAL (spec 3.9.6:
+    # metallic 1.0, roughness 1.0) — the same factors an empty material
+    # object decodes to below, so the two "unspecified" spellings shade
+    # identically.
+    props = MaterialProperties(metallic_factor=1.0, roughness_factor=1.0)
     tex = {}
     mat_index = prim.get("material")
     if mat_index is not None:

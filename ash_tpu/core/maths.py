@@ -200,6 +200,22 @@ def perspective_rh(fov_y_radians: float, aspect: float, z_near: float, z_far: fl
     return m
 
 
+def stable_up(direction) -> list:
+    """An up vector that is never parallel to `direction`.
+
+    look_at_rh with up parallel to the view direction degenerates to a
+    zero basis (the cross product vanishes; glam behaves the same, and the
+    reference hardcodes up=[0,1,0] for its shadow view, shadow_map.rs:233
+    — a straight-down noon light breaks its shadows too). Shadow fitting
+    here switches to +Z when the light is within ~2.5 degrees of vertical;
+    a documented deviation."""
+    d = np.asarray(direction, np.float32)
+    d = d / max(float(np.linalg.norm(d)), 1e-8)
+    if abs(float(d[1])) > 0.999:
+        return [0.0, 0.0, 1.0]
+    return [0.0, 1.0, 0.0]
+
+
 def orthographic_rh(left, right, bottom, top, near, far) -> Array:
     """Right-handed orthographic with [0, 1] depth (glam `Mat4::orthographic_rh`).
 

@@ -99,9 +99,10 @@ MATERIAL_FIELDS = (
     "emissive_factor",  # 4
     "params",  # 4: metallic, roughness, occlusion_strength, normal_scale
     "texture_indices",  # 4: base_color, normal, metallic_roughness, occlusion
-    "emissive_index_alpha_cutoff",  # 2 (+2 pad)
+    "emissive_index_alpha_cutoff",  # 2 (offsets 16, 17 — no padding;
+    # ops/shade.py reads the record at exactly these offsets)
 )
-MATERIAL_RECORD_SIZE = 18
+MATERIAL_RECORD_SIZE = 18  # 4 + 4 + 4 + 4 + 2
 
 
 @dataclasses.dataclass

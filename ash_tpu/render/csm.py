@@ -151,7 +151,9 @@ class CascadedShadowMap:
             max_dist = float(np.ceil(max_dist * texels_per_unit) / texels_per_unit)
 
             light_pos = center - light_dir * max_dist
-            light_view = maths.look_at_rh(light_pos, center, [0.0, 1.0, 0.0])
+            light_view = maths.look_at_rh(
+                light_pos, center, maths.stable_up(light_dir)
+            )
             light_proj = maths.orthographic_rh(
                 -max_dist, max_dist, -max_dist, max_dist, 0.0, max_dist * 2.0
             )

@@ -41,7 +41,7 @@ def directional_light_matrix(
     scene_center = np.asarray(scene_center, np.float32)
     n = light_dir / max(float(np.linalg.norm(light_dir)), 1e-8)
     light_pos = scene_center - n * (scene_radius * 2.0)
-    light_view = maths.look_at_rh(light_pos, scene_center, [0.0, 1.0, 0.0])
+    light_view = maths.look_at_rh(light_pos, scene_center, maths.stable_up(n))
     light_proj = maths.orthographic_rh(
         -scene_radius,
         scene_radius,

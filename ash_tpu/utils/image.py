@@ -31,13 +31,28 @@ def read_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGBA"))
 
 
-def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
-    """Peak signal-to-noise ratio in dB. Inputs float or uint8 (same scale)."""
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    if a.max() > 2.0 or b.max() > 2.0:  # uint8-scaled inputs
-        peak = 255.0
-    mse = np.mean((a - b) ** 2)
+def psnr(a: np.ndarray, b: np.ndarray, peak: float | None = None) -> float:
+    """Peak signal-to-noise ratio in dB.
+
+    `peak=None` infers the scale from the DTYPE: integer inputs use their
+    type's full range (255 for uint8), floats use 1.0. An explicit peak is
+    always honored. (The previous value-based `max() > 2.0` heuristic
+    mis-scored dark u8 frames as catastrophically bad and silently
+    overrode explicit peaks on HDR buffers.)"""
+    arr_a, arr_b = np.asarray(a), np.asarray(b)
+    if peak is None:
+        if np.issubdtype(arr_a.dtype, np.integer) or np.issubdtype(
+            arr_b.dtype, np.integer
+        ):
+            peak = float(np.iinfo(
+                arr_a.dtype if np.issubdtype(arr_a.dtype, np.integer)
+                else arr_b.dtype
+            ).max)
+        else:
+            peak = 1.0
+    mse = np.mean(
+        (np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2
+    )
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(peak * peak / mse))

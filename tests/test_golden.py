@@ -22,5 +22,5 @@ def test_golden_psnr(name):
     golden = read_png(path)
     surface = golden_scenes.SCENES[name]()
     fresh = surface.read_back()
-    value = psnr(fresh.astype(np.float32), golden.astype(np.float32))
+    value = psnr(fresh, golden)  # u8 inputs -> peak 255 by dtype
     assert value >= 40.0, f"{name}: PSNR {value:.1f} dB < 40 dB"

@@ -83,3 +83,37 @@ def test_two_level_binning_pad_tiles_do_not_overflow():
     assert int(bins.overflow) == 0
     counts = np.asarray(bins.counts)
     assert counts.max() == 1
+
+
+def test_straight_down_light_has_valid_shadow_matrix():
+    """look_at_rh with up parallel to the view direction degenerates to a
+    zero basis (glam does the same; the reference hardcodes up=[0,1,0]
+    for its shadow view, so a noon sun breaks its shadows too — latent
+    there, fixed here via maths.stable_up)."""
+    import numpy as np
+
+    from ash_tpu.render.shadow_map import directional_light_matrix
+
+    m = directional_light_matrix([0.0, -1.0, 0.0], [0, 0, 0], 10.0)
+    assert np.all(np.isfinite(m))
+    # The view basis must be orthonormal: a point offset from the center
+    # must land away from the origin in light space.
+    p = m @ np.array([3.0, 0.0, 2.0, 1.0], np.float32)
+    assert abs(p[0]) > 1e-3 or abs(p[1]) > 1e-3
+
+
+def test_psnr_scale_inference():
+    """psnr infers peak from dtype (u8 -> 255, float -> 1.0) and honors an
+    explicit peak; the old value heuristic scored dark u8 frames as
+    catastrophically bad and overrode explicit HDR peaks."""
+    import numpy as np
+
+    from ash_tpu.utils.image import psnr
+
+    a = np.zeros((8, 8), np.uint8)
+    b = a.copy()
+    b[0, 0] = 1  # 1 LSB on a DARK u8 image
+    assert psnr(a, b) > 45.0
+    hdr_a = np.full((8, 8), 4.0, np.float32)
+    hdr_b = hdr_a + 0.5
+    assert abs(psnr(hdr_a, hdr_b, peak=8.0) - 10 * np.log10(64 / 0.25)) < 0.1

@@ -44,9 +44,9 @@ def main() -> int:
         if not os.path.exists(path):
             print(f"{name}: SKIP (no golden)", file=sys.stderr)
             continue
-        golden = read_png(path).astype(np.float32)
+        golden = read_png(path)
         surface = golden_scenes.SCENES[name]()
-        fresh = surface.read_back().astype(np.float32)
+        fresh = surface.read_back()
         value = float(psnr(fresh, golden))
         ok = value >= 40.0
         print(f"{name}: PSNR {value:.1f} dB {'OK' if ok else 'FAIL'}")
