@@ -78,11 +78,17 @@ def build_bench_renderer(width, height, n_objects, shadow_resolution=2048,
     )
 
     surface = HeadlessSurface(width, height)
-    cfg = RendererConfig(shadow_resolution=shadow_resolution, **cfg_overrides)
-    if height < 512:  # small smoke config
-        cfg = RendererConfig(
+    if height < 512:  # small smoke config (CLI overrides still apply)
+        small = dict(
             tile_h=8, tile_w=32, max_tris_per_tile=64,
-            shadow_resolution=256, shadow_tile=64, shadow_max_tris_per_tile=64,
+            shadow_resolution=256, shadow_tile=64,
+            shadow_max_tris_per_tile=64,
+        )
+        small.update(cfg_overrides)
+        cfg = RendererConfig(**small)
+    else:
+        cfg = RendererConfig(
+            shadow_resolution=shadow_resolution, **cfg_overrides
         )
     r = Renderer(surface, cfg)
 
@@ -136,7 +142,7 @@ def build_bench_renderer(width, height, n_objects, shadow_resolution=2048,
     return r, surface, cam, anim
 
 
-def build_mega_renderer(width, height):
+def build_mega_renderer(width, height, **cfg_overrides):
     """1,002,528-triangle displaced sphere (examples/08_million_tris.py)."""
     import importlib.util
 
@@ -154,12 +160,10 @@ def build_mega_renderer(width, height):
 
     mesh = mod.build_sphere_grid(709)
     surface = HeadlessSurface(width, height)
-    r = Renderer(
-        surface,
-        RendererConfig(max_tris_per_tile=8192,
-                       shadow_max_tris_per_tile=8192,
-                       binning_policy="nearest"),
-    )
+    mega_cfg = dict(max_tris_per_tile=8192, shadow_max_tris_per_tile=8192,
+                    binning_policy="nearest")
+    mega_cfg.update(cfg_overrides)  # --bf16 / --pipeline-mode etc. apply
+    r = Renderer(surface, RendererConfig(**mega_cfg))
     r.set_mesh(mesh)
     r.set_material(Material(color=(0.7, 0.6, 0.5, 1.0), roughness=0.35))
     cam = Camera.new([0, 0.4, 2.9], [0, 0, 0], width / height)
@@ -276,6 +280,9 @@ def main():
         "on the tunnel)",
     )
     args = ap.parse_args()
+    if args.mega and (args.animate or args.rich):
+        ap.error("--mega is its own scene; it cannot combine with "
+                 "--animate/--rich")
 
     import jax
 
@@ -286,9 +293,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    overridden = (
+        args.pipeline_mode is not None or args.shadow_tile is not None
+        or args.shadow_cap is not None or args.bf16 or args.lights
+        or args.objects != 1000
+    )
     suite = not (
         args.cpu or args.small or args.rich or args.animate or args.mega
         or args.no_extras or args.save
+        # Scene/config overrides are NOT forwarded to the extras'
+        # subprocesses; running the suite would print four JSON lines
+        # measuring different configurations as if they were one.
+        or overridden
     )
     if suite:
         # Extras first, each in a clean process; headline JSON line LAST.
@@ -314,9 +330,11 @@ def main():
         overrides["shade_dtype"] = "bf16"
 
     t0 = time.perf_counter()
-    num_tris = None
     if args.mega:
-        r, surface, cam, num_tris = build_mega_renderer(width, height)
+        r, surface, cam, num_tris = build_mega_renderer(
+            width, height, **overrides
+        )
+        print(f"mega scene: {num_tris} triangles", file=sys.stderr)
         anim = None
     else:
         if args.rich:
@@ -564,14 +582,16 @@ def main():
             os.path.join(os.path.dirname(__file__) or ".", "PERF_BUDGET.json")
         ) as f:
             budget = json.load(f)
-        if args.small:
+        # Same precedence as the metric name above: the budget must guard
+        # the scene that actually ran.
+        if args.mega:
+            key = "min_fps_1080p_mega"
+        elif args.animate:
+            key = "min_fps_1080p_animated"
+        elif args.small:
             key = "min_fps_small"
         elif args.rich:
             key = "min_fps_1080p_rich"
-        elif args.animate:
-            key = "min_fps_1080p_animated"
-        elif args.mega:
-            key = "min_fps_1080p_mega"
         else:
             key = "min_fps_1080p"
         min_fps = budget[key]

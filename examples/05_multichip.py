@@ -29,7 +29,7 @@ def main(out="multichip.png"):
     print(f"rendering across {n} device(s): {mesh}")
 
     config = FrameConfig(
-        width=512, height=max(16 * n, 384 // (16 * n) * 16 * n, 384),
+        width=512, height=max(16 * n, 384),
         tile_h=16, tile_w=128, max_tris_per_tile=64,
         shadow_resolution=16 * n * max(1, 256 // (16 * n)),
         shadow_tile=16, shadow_max_tris_per_tile=64,

@@ -52,7 +52,9 @@ def instancing_demo():
         y, x = divmod(rem, side)
         m[:3, 3] = [(x - side / 2) * 1.2, (y - side / 2) * 1.2,
                     (z - side / 2) * 1.2]
-        assert mgr.add_instance(0, 1, InstanceData(model=m))
+        added = mgr.add_instance(0, 1, InstanceData(model=m))
+        assert added  # must never be stripped: -O removing the CALL would
+        # silently demo an empty batch, so the call lives outside the assert
     mgr.to_draw_items(r)
     st = mgr.stats()
     print(f"batched {st.total_instances} instances in {st.batch_count} batch "

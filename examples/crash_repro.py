@@ -27,6 +27,10 @@ TARGET_VERTS = 209_668
 TARGET_INDICES = 982_380
 
 
+# NOTE: shares its displaced-sphere-grid construction with
+# examples/08_million_tris.build_sphere_grid; this variant additionally
+# pads to the reference crash scene's exact vertex/index counts and adds
+# UVs. A seam/indexing fix must be applied to both.
 def build_stress_mesh() -> Mesh:
     """Structured mesh with the reference's exact vertex/index counts.
 

@@ -54,6 +54,12 @@ def main():
 
     for _ in range(3):
         run()
+    # Tiered mode serves cold-effort split programs until the background
+    # fused compile lands; trace the PROMOTED steady state, not whichever
+    # tier happened to be live (and keep the one-time race out of the
+    # traced region).
+    r.wait_pipeline_optimization(timeout=600)
+    run()
     log_dir = tempfile.mkdtemp(prefix="ash_pass_profile_")
     with jax.profiler.trace(log_dir):
         for _ in range(args.iters):
