@@ -84,8 +84,16 @@ def bin_triangles(
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
 
-    # Triangles entirely outside the band contribute nothing.
-    valid = valid & (bbox[:, 3] >= y0) & (bbox[:, 1] < y0 + height)
+    # Triangles entirely outside the band contribute nothing. The
+    # horizontal check matters too: the tile-range clamp below would
+    # otherwise fold a fully-offscreen-left/right bbox into the edge
+    # tile column, wasting slots (and potentially overflowing a tile)
+    # on triangles that cover no pixel.
+    valid = (
+        valid
+        & (bbox[:, 3] >= y0) & (bbox[:, 1] < y0 + height)
+        & (bbox[:, 2] >= 0.0) & (bbox[:, 0] < width)
+    )
 
     # Tile index ranges covered by each bbox (inclusive), clamped to the grid.
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, tx - 1).astype(jnp.int32)
