@@ -91,11 +91,25 @@ def tile_frustum_planes(
     c1 = corner(max_ndc_x, min_ndc_y)
     c2 = corner(max_ndc_x, max_ndc_y)
     c3 = corner(min_ndc_x, max_ndc_y)
+    # Interior reference ray (the tile center direction): side planes pass
+    # through the origin, so sign(n . interior) orients each normal INWARD
+    # regardless of the projection's handedness/Y-flip.
+    interior = (c0 + c1 + c2 + c3) * 0.25
 
     def plane(a, b):
+        # Deviation from the reference (light_culling.comp:87-97): its
+        # cross(corner, corner) winding points every side-plane normal
+        # OUTWARD, so `dist >= -r` actually tests "within r of the plane
+        # from outside" — it falsely culls lights that reach pixels near
+        # tile borders and (at distance > r/sin(halfangle)) even lights
+        # inside the tile. Latent in the reference (the pass was never
+        # wired into its frame); caught here by the brute-force fuzz
+        # (tests/test_compute_fuzz.py) once the lists were consumed.
         v = jnp.cross(a, b)
         ln = jnp.linalg.norm(v, axis=-1, keepdims=True)
         n = jnp.where(ln > 1e-4, v / jnp.maximum(ln, 1e-8), 0.0)
+        s = jnp.sign(jnp.sum(n * interior, axis=-1, keepdims=True))
+        n = n * jnp.where(s == 0.0, 1.0, s)
         return jnp.concatenate([n, jnp.zeros_like(n[..., :1])], axis=-1)
 
     left = plane(c3, c0)
