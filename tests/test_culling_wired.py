@@ -96,3 +96,50 @@ def test_brdf_lut_properties():
     # Smooth surface, head-on view: scale near 1, bias near 0.
     s, b = integrate_brdf(jnp.asarray(0.95), jnp.asarray(0.05), samples=256)
     assert float(s) > 0.9 and float(b) < 0.1
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_occlusion_culling_never_changes_the_image(seed):
+    """Conservativeness, end-to-end: with a static camera, frames rendered
+    WITH occlusion culling (prev-frame Hi-Z) must be pixel-identical
+    (within 1 quantization LSB — the masked frame program fuses
+    differently) to frames rendered WITHOUT it, on random scenes. A
+    false cull makes a visible object vanish; culling truly hidden
+    objects cannot change any pixel by definition. Broad insurance for
+    the whole Hi-Z -> occlusion-test chain (the precise odd-level
+    truncation regression lives in tests/test_ops_regressions.py)."""
+    rng = np.random.default_rng(seed + 31)
+
+    def build(occlusion):
+        r, surface = _renderer(w=120, h=84)  # odd Hi-Z level chain
+        r.register_mesh_handle(0, Mesh.create_cube())
+        r.register_material_handle(1, Material(color=(0.8, 0.4, 0.2, 1)))
+        cmds = []
+        for _ in range(16):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, 3] = rng.uniform([-3, -2, -6], [3, 2, 0], 3)
+            s = rng.uniform(0.3, 1.2)
+            m[0, 0] = m[1, 1] = m[2, 2] = s
+            cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+        r.submit_render_commands(cmds)
+        r.set_occlusion_culling(occlusion)
+        return r, surface
+
+    cam = Camera.new([0, 1.0, 7.0], [0, 0, 0], 120 / 84)
+    v, p = cam.view_matrix(), cam.projection_matrix()
+
+    state = rng.bit_generator.state
+    r_off, s_off = build(False)
+    r_off.render_frame(v, p, cam.position)
+    base = s_off.read_back().copy()
+
+    rng.bit_generator.state = state  # identical scene
+    r_on, s_on = build(True)
+    for _ in range(3):  # frame 1 primes the depth pyramid
+        r_on.render_frame(v, p, cam.position)
+    got = s_on.read_back()
+    diff = np.abs(base.astype(np.int16) - got.astype(np.int16))
+    assert diff.max() <= 1, (
+        f"occlusion culling changed the image: max diff {diff.max()}, "
+        f"{(diff > 1).sum()} px"
+    )
