@@ -118,3 +118,59 @@ def test_trilinear_matches_f64_oracle(seed):
         # Texels are stored bf16 (8-bit mantissa): tolerance covers the
         # quantization of the 4 fetched corners, not the filtering math.
         np.testing.assert_allclose(got, want, atol=0.02)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_shadow_pcf16_matches_glsl_transcription(seed):
+    """shadow_pcf16 vs an independent f64 transcription of
+    shaders/frag.frag:48-88: 4 textureGather quads at (+-1,+-1) texels,
+    white border, slope bias max(0.05*(1-NdotL), 0.005), the z*0.5+0.5
+    remap quirk, and the far-plane early-out. Random maps and fragment
+    positions sweep borders and out-of-frustum cases."""
+    from ash_tpu.ops.shadow import shadow_pcf16
+
+    rng = np.random.default_rng(seed + 3)
+    s = int(rng.integers(8, 33))
+    smap = rng.random((s, s)).astype(np.float32)
+
+    n = 128
+    # Light-space clip positions: mostly inside, some past the borders
+    # and past the far plane after the *0.5+0.5 remap.
+    w = np.ones(n, np.float32)
+    xy = rng.uniform(-1.4, 1.4, (n, 2)).astype(np.float32)
+    zc = rng.uniform(-1.2, 1.4, n).astype(np.float32)
+    frag = np.concatenate([xy, zc[:, None], w[:, None]], axis=-1)
+    normal = rng.normal(size=(n, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    ldir = np.array([0.3, 0.8, 0.52], np.float32)
+    ldir /= np.linalg.norm(ldir)
+
+    got = np.asarray(shadow_pcf16(
+        jnp.asarray(smap), jnp.asarray(frag), jnp.asarray(normal),
+        jnp.asarray(ldir),
+    ))
+
+    m = smap.astype(np.float64)
+    want = np.zeros(n)
+    for i in range(n):
+        proj = frag[i, :3].astype(np.float64) / frag[i, 3]
+        proj = proj * 0.5 + 0.5
+        ndl = float(normal[i] @ ldir)
+        cmp_d = proj[2] - max(0.05 * (1.0 - ndl), 0.005)
+        acc = 0
+        for ox, oy in ((-1, -1), (1, -1), (-1, 1), (1, 1)):
+            u = proj[0] + ox / s
+            v = proj[1] + oy / s
+            x0 = int(np.floor(u * s - 0.5))
+            y0 = int(np.floor(v * s - 0.5))
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi, yi = x0 + dx, y0 + dy
+                    d = (m[yi, xi]
+                         if 0 <= xi < s and 0 <= yi < s else 1.0)
+                    acc += int(cmp_d > d)
+        want[i] = 0.0 if proj[2] > 1.0 else acc / 16.0
+
+    # f32 vs f64 can flip a strict > on knife-edge taps; allow one tap.
+    np.testing.assert_allclose(got, want, atol=1.01 / 16.0)
+    assert np.mean(np.abs(got - want) < 1e-6) > 0.9, "systematic mismatch"
