@@ -83,6 +83,31 @@ def _interp(pw, attr3):
     return jnp.einsum("...v,...vc->...c", pw, attr3, preferred_element_type=jnp.float32)
 
 
+def _pixel_grid(h, w, y0=0):
+    """Pixel-center coordinates of an (h, w) band whose first row is the
+    global framebuffer row y0."""
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
+    ).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _perspective_weights(edge, px, py):
+    """Perspective-correct barycentric weights from homogeneous edge rows:
+    lam_i = edge_i . (px, py, 1); w_i = lam_i / sum(lam) (see
+    geometry.TriangleSetup). The ONE copy of this numerically sensitive
+    formula — interpolate_gbuffer and resolve_alpha_test both use it, so
+    an epsilon or seam fix lands in both."""
+    lam = (
+        edge[..., 0] * px[..., None]
+        + edge[..., 1] * py[..., None]
+        + edge[..., 2]
+    )
+    s = jnp.sum(lam, axis=-1, keepdims=True)
+    return lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+
+
 class GBuffer(NamedTuple):
     """Interpolated per-pixel attributes (the reference's VS->FS varyings)."""
 
@@ -124,22 +149,10 @@ def interpolate_gbuffer(
     uids = vert_uid[vids] if vert_uid is not None else vids
     edge = setup.edge[t]  # (H, W, 3, 3) homogeneous edge rows
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
-    ).astype(jnp.float32) + 0.5
+    px, py = _pixel_grid(h, w, y0)
 
     def weights_at(px_, py_):
-        # Perspective-correct weights directly from the homogeneous edge
-        # functions: lam_i = edge_i . (px, py, 1); w_i = lam_i / sum(lam)
-        # (geometry.TriangleSetup docs).
-        lam = (
-            edge[..., 0] * px_[..., None]
-            + edge[..., 1] * py_[..., None]
-            + edge[..., 2]
-        )  # (H, W, 3)
-        s = jnp.sum(lam, axis=-1, keepdims=True)
-        return lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+        return _perspective_weights(edge, px_, py_)
 
     pw = weights_at(px, py)
     world = _interp(pw, verts.world[vids])
@@ -214,13 +227,8 @@ def resolve_alpha_test(
     t = jnp.maximum(tri_id, 0)
     vids = tri_v[t]
     edge = setup.edge[t]
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) + 0.5
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + y0
-    ).astype(jnp.float32) + 0.5
-    lam = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
-    s = jnp.sum(lam, axis=-1, keepdims=True)
-    pw = lam / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+    px, py = _pixel_grid(h, w, y0)
+    pw = _perspective_weights(edge, px, py)
     uids = vert_uid[vids] if vert_uid is not None else vids
     uv = _interp(pw, vert_uv[uids])
 
