@@ -109,7 +109,7 @@ def test_trilinear_matches_f64_oracle(seed):
         return top * (1 - fy) + bot * fy
 
     uv = rng.random((64, 2)).astype(np.float32)
-    for level in (0, min(1, len(mips) - 1), len(mips) - 1):
+    for level in (0, 1, len(mips) - 1):
         got = np.asarray(sample_trilinear(
             pool, jnp.zeros(64, jnp.int32), jnp.asarray(uv),
             jnp.full(64, float(level)),
@@ -117,6 +117,23 @@ def test_trilinear_matches_f64_oracle(seed):
         want = np.stack([oracle(level, float(u), float(v)) for u, v in uv])
         # Texels are stored bf16 (8-bit mantissa): tolerance covers the
         # quantization of the 4 fetched corners, not the filtering math.
+        np.testing.assert_allclose(got, want, atol=0.02)
+
+    # Fractional LOD: the mip blend c0*(1-f) + c1*f, including the
+    # l1 = min(l0+1, last) clamp at the pyramid tail.
+    for lod in (0.3, 1.7, len(mips) - 1 + 0.4):
+        l0 = min(int(np.floor(lod)), len(mips) - 1)
+        l1 = min(l0 + 1, len(mips) - 1)
+        f = min(lod, len(mips) - 1) - l0
+        got = np.asarray(sample_trilinear(
+            pool, jnp.zeros(64, jnp.int32), jnp.asarray(uv),
+            jnp.full(64, float(lod)),
+        ))
+        want = np.stack([
+            (1 - f) * oracle(l0, float(u), float(v))
+            + f * oracle(l1, float(u), float(v))
+            for u, v in uv
+        ])
         np.testing.assert_allclose(got, want, atol=0.02)
 
 
@@ -135,10 +152,12 @@ def test_shadow_pcf16_matches_glsl_transcription(seed):
 
     n = 128
     # Light-space clip positions: mostly inside, some past the borders
-    # and past the far plane after the *0.5+0.5 remap.
-    w = np.ones(n, np.float32)
-    xy = rng.uniform(-1.4, 1.4, (n, 2)).astype(np.float32)
-    zc = rng.uniform(-1.2, 1.4, n).astype(np.float32)
+    # and past the far plane after the *0.5+0.5 remap. Random w exercises
+    # the homogeneous divide (xy/z scale WITH w so post-divide coverage
+    # stays the same).
+    w = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    xy = (rng.uniform(-1.4, 1.4, (n, 2)) * w[:, None]).astype(np.float32)
+    zc = (rng.uniform(-1.2, 1.4, n) * w).astype(np.float32)
     frag = np.concatenate([xy, zc[:, None], w[:, None]], axis=-1)
     normal = rng.normal(size=(n, 3)).astype(np.float32)
     normal /= np.linalg.norm(normal, axis=-1, keepdims=True)

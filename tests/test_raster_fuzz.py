@@ -113,7 +113,8 @@ def test_coverage_matches_analytic_inside_test(seed):
     # Screen-space triangle with decent area, mapped back to clip w=1.
     while True:
         pts = rng.uniform([8, 8], [W - 8, H - 8], (3, 2)).astype(np.float64)
-        area = 0.5 * abs(np.cross(pts[1] - pts[0], pts[2] - pts[0]))
+        d1, d2 = pts[1] - pts[0], pts[2] - pts[0]
+        area = 0.5 * abs(d1[0] * d2[1] - d1[1] * d2[0])
         if area > 150:
             break
     # clip = (ndc, z, w=1): ndc from pixel centers (inverse of viewport).
@@ -143,6 +144,7 @@ def test_coverage_matches_analytic_inside_test(seed):
     inside = np.all(e > 0.5, axis=0) | np.all(e < -0.5, axis=0)
     outside = np.any(e > 0.5, axis=0) & np.any(e < -0.5, axis=0)
     covered = tri_id >= 0
-    # Unambiguously inside pixels must be covered; unambiguous outside not.
+    # Unambiguously inside pixels must be covered; unambiguous outside not
+    # (the two sets are disjoint by construction).
     assert np.all(covered[inside]), "analytic-inside pixel not rasterized"
-    assert not np.any(covered[outside & ~inside]), "rasterized outside"
+    assert not np.any(covered[outside]), "rasterized outside"
