@@ -137,17 +137,65 @@ def interpolate_gbuffer(
     fb_height: Optional[int] = None,  # FULL framebuffer dims for the
     fb_width: Optional[int] = None,  # velocity uv normalization (bands)
     vert_uid: Optional[jnp.ndarray] = None,  # (Ve,) -> unique vertex
+    packed: bool = False,  # gather ONE per-triangle record per pixel
 ) -> GBuffer:
     h, w = tri_id.shape
     fb_h = fb_height if fb_height is not None else h
     fb_w = fb_width if fb_width is not None else w
     mask = tri_id >= 0
     t = jnp.maximum(tri_id, 0)
-    vids = tri_v[t]  # (H, W, 3) expanded vertex ids
-    # Static attributes live in the unique mesh pool (true instancing):
-    # chase the expanded id through vert_uid for uv/color gathers.
-    uids = vert_uid[vids] if vert_uid is not None else vids
-    edge = setup.edge[t]  # (H, W, 3, 3) homogeneous edge rows
+
+    if packed:
+        # PACKED attribute fetch: bake every per-triangle quantity into one
+        # (T, R) record at triangle granularity (T gathers of small tables),
+        # then do a SINGLE wide contiguous gather per pixel instead of ~8
+        # scattered ones. Identical values -> bit-identical interpolation;
+        # only the fetch schedule changes. Costs a (T, R) f32 transient
+        # (~270 B/tri — at 1M tris that is ~270 MB, why this is a config
+        # choice rather than unconditional). Draw ids ride as f32 (exact
+        # below 2^24; MAX_DRAWS is 65k).
+        tn = tri_v.shape[0]
+        uids_t = vert_uid[tri_v] if vert_uid is not None else tri_v  # (T,3)
+        parts = [
+            setup.edge.reshape(tn, 9),
+            setup.det[:, None],
+            tri_draw.astype(jnp.float32)[:, None],
+            verts.world[tri_v].reshape(tn, 9),
+            verts.normal[tri_v].reshape(tn, 9),
+            verts.tangent[tri_v].reshape(tn, 12),
+            vert_uv[uids_t].reshape(tn, 6),
+            vert_color[uids_t].reshape(tn, 9),
+        ]
+        if prev_clip is not None:
+            parts.append(prev_clip[tri_v].reshape(tn, 12))
+        rec = jnp.concatenate(parts, axis=-1)
+        r = rec[t]  # (H, W, R): the one per-pixel gather
+        edge = r[..., 0:9].reshape(h, w, 3, 3)
+        det = r[..., 9]
+        draw = r[..., 10].astype(jnp.int32)
+        world3 = r[..., 11:20].reshape(h, w, 3, 3)
+        normal3 = r[..., 20:29].reshape(h, w, 3, 3)
+        tangent3 = r[..., 29:41].reshape(h, w, 3, 4)
+        uv3 = r[..., 41:47].reshape(h, w, 3, 2)
+        color3 = r[..., 47:56].reshape(h, w, 3, 3)
+        prev3 = (
+            r[..., 56:68].reshape(h, w, 3, 4)
+            if prev_clip is not None else None
+        )
+    else:
+        vids = tri_v[t]  # (H, W, 3) expanded vertex ids
+        # Static attributes live in the unique mesh pool (true instancing):
+        # chase the expanded id through vert_uid for uv/color gathers.
+        uids = vert_uid[vids] if vert_uid is not None else vids
+        edge = setup.edge[t]  # (H, W, 3, 3) homogeneous edge rows
+        det = setup.det[t]
+        draw = tri_draw[t]
+        world3 = verts.world[vids]
+        normal3 = verts.normal[vids]
+        tangent3 = verts.tangent[vids]
+        uv3 = vert_uv[uids]
+        color3 = vert_color[uids]
+        prev3 = prev_clip[vids] if prev_clip is not None else None
 
     px, py = _pixel_grid(h, w, y0)
 
@@ -155,25 +203,25 @@ def interpolate_gbuffer(
         return _perspective_weights(edge, px_, py_)
 
     pw = weights_at(px, py)
-    world = _interp(pw, verts.world[vids])
-    normal = _normalize(_interp(pw, verts.normal[vids]))
-    tangent = _interp(pw, verts.tangent[vids])
-    uv = _interp(pw, vert_uv[uids])
-    color = _interp(pw, vert_color[uids])
+    world = _interp(pw, world3)
+    normal = _normalize(_interp(pw, normal3))
+    tangent = _interp(pw, tangent3)
+    uv = _interp(pw, uv3)
+    color = _interp(pw, color3)
 
     # Analytic screen-space UV derivatives: re-evaluate the projective
     # interpolation one pixel right/down (exact, replaces the GPU's 2x2-quad
     # finite differences used for mip selection).
-    uv_x = _interp(weights_at(px + 1.0, py), vert_uv[uids])
-    uv_y = _interp(weights_at(px, py + 1.0), vert_uv[uids])
+    uv_x = _interp(weights_at(px + 1.0, py), uv3)
+    uv_y = _interp(weights_at(px, py + 1.0), uv3)
 
     # Motion vectors: interpolate LAST frame's clip position of this surface
     # point, project, and diff against the pixel's own uv. Feeds the TAA
     # velocity path (taa_resolve.comp:94-102) — the reference declared a
     # velocity buffer but had nothing writing it.
     velocity = None
-    if prev_clip is not None:
-        pc = _interp(pw, prev_clip[vids])  # (H, W, 4)
+    if prev3 is not None:
+        pc = _interp(pw, prev3)  # (H, W, 4)
         pw_w = jnp.where(jnp.abs(pc[..., 3]) < 1e-6, 1e-6, pc[..., 3])
         prev_uv = pc[..., :2] / pw_w[..., None] * 0.5 + 0.5
         cur_uv = jnp.stack([px / fb_w, py / fb_h], axis=-1)
@@ -188,8 +236,8 @@ def interpolate_gbuffer(
         tangent=tangent,
         uv=uv,
         color=color,
-        front_facing=setup.det[t] < 0.0,
-        draw_id=tri_draw[t],
+        front_facing=det < 0.0,
+        draw_id=draw,
         uv_ddx=uv_x - uv,
         uv_ddy=uv_y - uv,
         velocity=velocity,

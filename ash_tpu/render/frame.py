@@ -121,6 +121,17 @@ class FrameConfig:
     # Rasterizer backend: the Pallas kernel (ops/raster_pallas.py) on TPU,
     # the jnp scan oracle elsewhere.
     use_pallas: bool = False
+    # G-buffer attribute fetch: True bakes all per-triangle quantities into
+    # one packed (T, R) record and does ONE wide per-pixel gather instead
+    # of ~8 scattered ones (bit-identical results; trades a ~270 B/tri
+    # transient — see interpolate_gbuffer). MEASURED on chip 2026-08-18
+    # (interleaved in-process A/B, pixel-identical outputs): 1080p/1000-obj
+    # 0.30 vs 0.30 ms, 1M-tri 0.41 vs 0.44 ms — a wash; XLA's in-context
+    # gather lowering is already efficient (a standalone microbenchmark of
+    # 8 scattered vs 1 packed gather shows 24x, but the frame never hits
+    # that regime). Default stays False; the packed path remains as a
+    # tested alternative fetch schedule.
+    gbuffer_packed: bool = False
     # Binning strategy: None = auto (two-level coarse->fine when the scene's
     # padded triangle count exceeds 32768 — the dense (tiles x T) matrix
     # cliffs there); True/False force it. See ops/binning.py.
@@ -687,6 +698,7 @@ def render_band(
             vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
             scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
             fb_height=rh, fb_width=rw, vert_uid=scene.vert_uid,
+            packed=cfg.gbuffer_packed,
         )
 
     with jax.named_scope("pass_light_cull"):
@@ -758,6 +770,7 @@ def render_band(
                         setup, scene.tri_v, scene.tri_draw, tv, scene.uv,
                         scene.color, y0=y0r, fb_height=rh, fb_width=rw,
                         vert_uid=scene.vert_uid,
+                        packed=cfg.gbuffer_packed,
                     )
                     layers.append(
                         (run_shade(gbuf_l),

@@ -86,7 +86,16 @@ def _track_crash_exit(tp, val, tb):
 sys.excepthook = _track_crash_exit
 
 
+# Set by the atexit join below: a background trace racing interpreter
+# shutdown can fail with internal jax errors (observed: MLIR lowering
+# KeyError when pytest's session end overlaps a just-started compile).
+# The process is exiting, so such failures are benign — they must not
+# retry or print scary diagnostics.
+_shutting_down = {"value": False}
+
+
 def _join_bg_compiles():
+    _shutting_down["value"] = True
     deadline = time.monotonic() + 120.0
     for t in list(_bg_compile_threads):
         t.join(max(0.0, deadline - time.monotonic()))
@@ -178,6 +187,10 @@ class RendererConfig:
     watch_kernels: bool = False
     # None = auto: Pallas raster kernel on TPU, jnp scan elsewhere.
     use_pallas: Optional[bool] = None
+    # Packed per-triangle attribute record for the G-buffer fetch (one wide
+    # per-pixel gather instead of ~8 scattered ones; see
+    # ops/shade.interpolate_gbuffer). Off by default pending on-chip A/B.
+    gbuffer_packed: bool = False
     # Persist compiled frame programs across processes (the reference's
     # serialized vkPipelineCache, pipeline_cache.rs:45-53). Path to a cache
     # directory, or None.
@@ -864,6 +877,7 @@ class Renderer:
             ),
             shading=c.shading,
             shade_dtype=c.shade_dtype,
+            gbuffer_packed=c.gbuffer_packed,
             clear_color=tuple(c.clear_color),
             post_enabled=self.hdr_enabled,
             bloom_enabled=self.bloom_enabled_flag,
@@ -1789,13 +1803,22 @@ class Renderer:
                     raise errs[0]
                 ent["state"] = "ready"
             except Exception as e:
+                if _shutting_down["value"]:
+                    # Benign: the trace raced interpreter shutdown (the
+                    # atexit join started while this compile was live).
+                    ent["state"] = "failed"
+                    return
                 # Stay on the cold split path, but say so: with the
                 # cold-effort tier this pins ~10%-slower frames, which
                 # must be observable and retryable (once — a persistent
                 # compiler error should not loop forever).
-                print(f"ash_tpu: background full-effort compile failed "
+                print(f"ash_tpu: background full-effort compile of the "
+                      f"{config.width}x{config.height} frame failed "
                       f"({e!r}); frames stay on the cold split programs",
                       file=sys.stderr)
+                if os.environ.get("ASH_DEBUG_COMPILE"):
+                    import traceback
+                    traceback.print_exc()
                 if ent.get("retried"):
                     ent["state"] = "failed"
                 else:

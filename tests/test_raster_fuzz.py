@@ -148,3 +148,53 @@ def test_coverage_matches_analytic_inside_test(seed):
     # (the two sets are disjoint by construction).
     assert np.all(covered[inside]), "analytic-inside pixel not rasterized"
     assert not np.any(covered[outside]), "rasterized outside"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_packed_gbuffer_bit_identical(seed):
+    """gbuffer_packed=True changes only the FETCH SCHEDULE (one wide
+    per-triangle-record gather instead of ~8 scattered ones); every
+    interpolated value must be bit-identical."""
+    import numpy as np
+
+    from ash_tpu import Material, Mesh
+    from ash_tpu.core.transform import Camera
+    from ash_tpu.render import (
+        HeadlessSurface,
+        RenderCommand,
+        Renderer,
+        RendererConfig,
+    )
+
+    rng = np.random.default_rng(seed + 11)
+
+    def build(packed):
+        surface = HeadlessSurface(96, 64)
+        r = Renderer(surface, RendererConfig(
+            tile_h=8, tile_w=32, max_tris_per_tile=64,
+            shadow_resolution=64, shadow_tile=32,
+            shadow_max_tris_per_tile=64, gbuffer_packed=packed))
+        r.register_mesh_handle(0, Mesh.create_cube())
+        r.register_material_handle(1, Material(color=(0.8, 0.4, 0.2, 1)))
+        cmds = []
+        for _ in range(9):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, 3] = rng.uniform([-2, -1, -3], [2, 1, 0], 3)
+            cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+        r.submit_render_commands(cmds)
+        r.initialize_hdr()
+        r.set_taa_enabled(True)  # exercises prev_clip/velocity packing
+        return r, surface
+
+    cam = Camera.new([0, 1.5, 6], [0, 0, 0], 96 / 64)
+    v, p = cam.view_matrix(), cam.projection_matrix()
+    state = rng.bit_generator.state
+    r0, s0 = build(False)
+    for _ in range(2):
+        r0.render_frame(v, p, cam.position)
+    base = s0.read_back().copy()
+    rng.bit_generator.state = state
+    r1, s1 = build(True)
+    for _ in range(2):
+        r1.render_frame(v, p, cam.position)
+    np.testing.assert_array_equal(base, s1.read_back())
