@@ -84,7 +84,17 @@ def read_accessor(gltf: dict, binary: bytes, index: int) -> np.ndarray:
     else:
         # Interleaved vertex buffer: decode all elements in one shot
         # (a per-vertex Python loop cost seconds on million-vertex GLBs).
-        raw = raw + b"\x00" * (stride * count - len(raw))
+        # The LAST element's row is allowed to end at `item` rather than a
+        # full stride (the glTF byte range is stride*(count-1)+item); any
+        # shorter means a truncated/malformed buffer — raise, do not
+        # fabricate zero geometry.
+        need = stride * (count - 1) + item
+        if len(raw) < need:
+            raise InvalidOperation(
+                f"accessor {index}: buffer truncated "
+                f"({len(raw)} < {need} bytes)"
+            )
+        raw = raw + b"\x00" * (stride * count - len(raw))  # pad tail row
         out = (
             np.frombuffer(raw, np.uint8)
             .reshape(count, stride)[:, :item]

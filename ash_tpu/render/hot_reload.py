@@ -86,15 +86,9 @@ class KernelWatcher:
                 importlib.reload(sys.modules[name])
                 log.info("hot-reloaded %s", name)
         frame_mod = importlib.reload(sys.modules[_WATCHED_MODULES[-1]])
-        # Drop EVERY cached program, not just the fused frame — the split/
-        # shadow/merge factories hold jits of the pre-reload kernels.
-        for factory in (
-            frame_mod.compiled_frame,
-            frame_mod.compiled_band,
-            frame_mod.compiled_finalize,
-            frame_mod.compiled_shadow,
-            frame_mod._merge_jit,
-            frame_mod._shadow_merge_jit,
-        ):
-            factory.cache_clear()
+        # No cache_clear needed: reload re-executes frame.py, so every
+        # program factory is a FRESH wrapper with an empty lru cache. The
+        # actual staleness handling is the caller's: the renderer rebinds
+        # _compiled_frame and resets _split_warmed/_chunk_warmed/_fused_bg
+        # so warm/tiered bookkeeping cannot reference pre-reload programs.
         return frame_mod

@@ -105,9 +105,11 @@ def _join_bg_compiles():
         # alive aborts it. Hard exit; everything user-visible already ran
         # (this is the LAST atexit handler: registered at import time,
         # atexit runs LIFO). The exit code keeps 1 if an unhandled
-        # exception crashed the process (excepthook above); a bare
-        # sys.exit(n) code is still replaced — acceptable against an
-        # unconditional abort (exit 134).
+        # exception crashed the process (excepthook above). KNOWN LIMIT:
+        # a code reported via sys.exit(n) / SystemExit (e.g. a failing
+        # pytest session) never reaches excepthook and IS replaced —
+        # there is no portable way to observe it from atexit; accepted
+        # against the alternative (an unconditional abort, exit 134).
         print("ash_tpu: background XLA compile wedged at exit; "
               "hard-exiting to avoid teardown abort", file=sys.stderr)
         sys.stdout.flush()
@@ -662,35 +664,35 @@ class Renderer:
         handle = int(handle)
         self.material_handles[handle] = material
         self._mat_registry_version += 1
-        if (
-            self._chunk_scenes is not None
-            and self._scene is None
-            and self.draw_items
-            and self._draw_mat_handles is not None
-        ):
-            # Chunked-geometry mode: the packed rows live in per-chunk
-            # SceneBuffers. Update the items and mark the scene dirty so
-            # the next frame rebuilds the chunks — heavier than the
-            # fused path's row rewrite, but silently keeping stale
-            # materials (the previous behavior) is wrong.
-            for i, h in enumerate(self._draw_mat_handles):
-                if h == handle:
-                    it = self.draw_items[i]
-                    mesh = self.mesh_registry[it.mesh_key]
-                    it.material = self._material_uniform(material, mesh)
-            self._scene_dirty = True
-            return
-        if (
-            self._scene is None
-            or self._scene_dirty
-            or not self.draw_items
-            or self._draw_mat_handles is None
-        ):
+        if not self.draw_items or self._draw_mat_handles is None:
             return
         rows = [
             i for i, h in enumerate(self._draw_mat_handles) if h == handle
         ]
         if not rows:
+            return  # no draw uses this handle: nothing to rewrite/rebuild
+        if self._scene_dirty or (
+            self._scene is None and self._chunk_scenes is None
+        ):
+            # A rebuild is already pending (or nothing is built yet): the
+            # rebuild packs from item.material, so refreshing the items is
+            # all that's needed for the new factors to land next frame.
+            for i in rows:
+                it = self.draw_items[i]
+                mesh = self.mesh_registry[it.mesh_key]
+                it.material = self._material_uniform(material, mesh)
+            return
+        if self._chunk_scenes is not None and self._scene is None:
+            # Chunked-geometry mode: the packed rows live in per-chunk
+            # SceneBuffers. Update the items and mark the scene dirty so
+            # the next frame rebuilds the chunks — heavier than the
+            # fused path's row rewrite, but silently keeping stale
+            # materials (the previous behavior) is wrong.
+            for i in rows:
+                it = self.draw_items[i]
+                mesh = self.mesh_registry[it.mesh_key]
+                it.material = self._material_uniform(material, mesh)
+            self._scene_dirty = True
             return
         for i in rows:
             it = self.draw_items[i]

@@ -582,14 +582,14 @@ def main():
             os.path.join(os.path.dirname(__file__) or ".", "PERF_BUDGET.json")
         ) as f:
             budget = json.load(f)
-        # Same precedence as the metric name above: the budget must guard
-        # the scene that actually ran.
-        if args.mega:
+        # --small first (it changes the SCENE SIZE, so 1080p floors never
+        # apply), then the same precedence as the metric name above.
+        if args.small:
+            key = "min_fps_small"
+        elif args.mega:
             key = "min_fps_1080p_mega"
         elif args.animate:
             key = "min_fps_1080p_animated"
-        elif args.small:
-            key = "min_fps_small"
         elif args.rich:
             key = "min_fps_1080p_rich"
         else:

@@ -275,3 +275,20 @@ def test_resubmit_same_size_new_signature_after_dense_update():
     t1 = make_transforms(3, seed=8)
     r.submit_render_commands(commands(t1, material=h2))
     np.testing.assert_array_equal(render(r), fresh_image(t1))
+
+
+def test_update_material_before_first_render_applies():
+    """update_material between submit and the first render (scene still
+    dirty) must land in the rebuild — it silently no-opped before."""
+    r = make_renderer()
+    h = register_mat(r, color=(0.1, 0.1, 0.9, 1.0))
+    t0 = make_transforms(3, seed=21)
+    r.submit_render_commands(commands(t0, material=h))
+    from ash_tpu import Material
+    r.update_material(h, Material(color=(0.9, 0.1, 0.1, 1.0)))  # scene dirty
+    img = render(r)
+    # A fresh renderer built directly with the red material must match.
+    r2 = make_renderer()
+    register_mat(r2, color=(0.9, 0.1, 0.1, 1.0))
+    r2.submit_render_commands(commands(t0))
+    np.testing.assert_array_equal(img, render(r2))

@@ -58,7 +58,10 @@ def main():
     # fused compile lands; trace the PROMOTED steady state, not whichever
     # tier happened to be live (and keep the one-time race out of the
     # traced region).
-    r.wait_pipeline_optimization(timeout=600)
+    if not r.wait_pipeline_optimization(timeout=600):
+        print("WARNING: background fused compile still pending — the "
+              "trace below measures the COLD split programs, not the "
+              "promoted steady state", file=sys.stderr)
     run()
     log_dir = tempfile.mkdtemp(prefix="ash_pass_profile_")
     with jax.profiler.trace(log_dir):
