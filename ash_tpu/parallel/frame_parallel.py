@@ -9,9 +9,16 @@ every device runs the FULL single-chip frame program (render_frame_program
 — raster, shade, post chain) on its own frame with ZERO cross-device
 communication.
 
-TAA is rejected here: its history is a sequential cross-frame dependency;
-use band mode for temporal features, or chunk the sequence and carry
-history between chunks host-side.
+TAA (round 4, VERDICT r3 item 9): history is a sequential cross-frame
+dependency, but it only serializes the RESOLVE — not the render. With
+taa_enabled the farm renders all n frames' raster+shade in parallel, then
+runs an n-step ppermute pipeline inside the same shard_map: at step j,
+chip j blends its frame against the history received from chip j-1 and
+passes the result along the ring (chip 0 consumes the caller-provided
+history, which chains batches). The n resolve steps are the same serial
+work a single chip would do — the heavy per-frame rendering is what
+parallelizes — so an n-frame batch costs ~(render / n + n x resolve)
+per frame instead of (render + resolve).
 """
 
 from __future__ import annotations
@@ -27,6 +34,8 @@ from ..render.frame import (
     FrameConfig,
     FrameOutputs,
     FrameUniforms,
+    finalize_frame,
+    render_band,
     render_frame_program,
 )
 from ..render.scene import SceneBuffers
@@ -36,14 +45,19 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
     """Build a jitted frame-parallel renderer over a 1D `mesh`.
 
     Returns fn(scene, uni_batch, pool=None, post=None, lights=None,
-    ibl=None) -> FrameOutputs where every leaf of `uni_batch` (and of
-    `lights`, if given) carries a leading axis of n = mesh.shape[axis]
-    frames, and every output leaf carries the same leading frame axis.
+    ibl=None, taa_batch=None, history0=None) -> FrameOutputs where every
+    leaf of `uni_batch` (and of `lights` / `taa_batch`, if given) carries
+    a leading axis of n = mesh.shape[axis] frames, and every output leaf
+    carries the same leading frame axis. With config.taa_enabled,
+    `taa_batch` (TaaParams, leading frame axis) and `history0`
+    ((H, W, 3), the history BEFORE the batch's first frame) drive the
+    pipelined cross-chip resolve; outputs.history[i] is frame i's
+    resolved history (feed history[n-1] into the next batch).
     """
-    if config.taa_enabled:
+    if config.taa_enabled and config.render_scale != 1.0:
         raise ValueError(
-            "frame-parallel rendering cannot carry TAA history across "
-            "frames; disable taa_enabled or use make_sharded_frame"
+            "frame-parallel TAA does not support render_scale (TAAU); "
+            "use band mode"
         )
     n = mesh.shape[axis]
     cfg = config
@@ -59,6 +73,58 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
         return jax.tree.map(
             lambda x: x[None] if x is not None else None, out
         )
+
+    def _taa_body(scene, uni, pool, post, lights, ibl, taa, history0,
+                  spmd: bool):
+        """Parallel render + pipelined TAA resolve chain + parallel post.
+        spmd=False replaces the ppermute chain with a single local resolve
+        (same output SHAPES) so eval_shape can derive out_specs without
+        running collectives outside shard_map."""
+        from ..ops.taa import taa_resolve
+
+        uni1 = jax.tree.map(lambda x: x[0], uni)
+        taa1 = jax.tree.map(lambda x: x[0], taa)
+        lights1 = None if lights is None else lights[0]
+        bo = render_band(
+            cfg, scene, uni1, pool, lights1, None, ibl, band=None
+        )
+        if spmd:
+            idx = jax.lax.axis_index(axis)
+            perm = [(i, (i + 1) % n) for i in range(n)]
+
+            def step(j, carry):
+                incoming, resolved = carry
+                mine = taa_resolve(bo.color, incoming, taa1,
+                                   velocity=bo.velocity)
+                resolved = jnp.where(idx == j, mine, resolved)
+                shifted = jax.lax.ppermute(resolved, axis, perm)
+                # Chip j+1 receives chip j's fresh resolve as history.
+                incoming = jnp.where(idx == j + 1, shifted, incoming)
+                return incoming, resolved
+
+            _, resolved = jax.lax.fori_loop(
+                0, n, step, (history0, jnp.zeros_like(bo.color))
+            )
+        else:
+            resolved = taa_resolve(bo.color, history0, taa1,
+                                   velocity=bo.velocity)
+        # Post-TAA chain per frame, fully parallel again: taa_params=None
+        # makes finalize skip its own TAA blend.
+        out = finalize_frame(cfg, bo._replace(color=resolved), post,
+                             None, None)
+        out = out._replace(history=resolved)
+        return jax.tree.map(
+            lambda x: x[None] if x is not None else None, out
+        )
+
+    def device_fn_taa(scene, uni, pool, post, lights, ibl, taa, history0):
+        return _taa_body(scene, uni, pool, post, lights, ibl, taa,
+                         history0, spmd=True)
+
+    def device_fn_taa_shape(scene, uni, pool, post, lights, ibl, taa,
+                            history0):
+        return _taa_body(scene, uni, pool, post, lights, ibl, taa,
+                         history0, spmd=False)
 
     @functools.lru_cache(maxsize=None)
     def _compiled(tree_key):
@@ -80,6 +146,29 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
 
         return jax.jit(impl)
 
+    @functools.lru_cache(maxsize=None)
+    def _compiled_taa(tree_key):
+        del tree_key
+
+        def impl(scene, uni, pool, post, lights, ibl, taa, history0):
+            spec_uni = jax.tree.map(lambda _: P(axis), uni)
+            spec_taa = jax.tree.map(lambda _: P(axis), taa)
+            spec_lights = None if lights is None else P(axis)
+            out_specs = jax.tree.map(lambda _: P(axis), jax.eval_shape(
+                device_fn_taa_shape, scene, uni, pool, post, lights, ibl,
+                taa, history0,
+            ))
+            return jax.shard_map(
+                device_fn_taa,
+                mesh=mesh,
+                in_specs=(P(), spec_uni, P(), P(), spec_lights, P(),
+                          spec_taa, P()),
+                out_specs=out_specs,
+                check_vma=False,
+            )(scene, uni, pool, post, lights, ibl, taa, history0)
+
+        return jax.jit(impl)
+
     def frames(
         scene: SceneBuffers,
         uni_batch: FrameUniforms,
@@ -87,6 +176,8 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
         post=None,
         lights=None,
         ibl=None,
+        taa_batch=None,
+        history0=None,
     ) -> FrameOutputs:
         lead = jax.tree.leaves(uni_batch)[0].shape[0]
         if lead != n:
@@ -95,6 +186,23 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
             )
         uni_dev = jax.tree.map(jnp.asarray, uni_batch)
         key = tuple(x is None for x in (pool, post, lights, ibl))
+        if cfg.taa_enabled:
+            if taa_batch is None:
+                raise ValueError(
+                    "config.taa_enabled needs taa_batch (TaaParams with a "
+                    "leading frame axis) and history0"
+                )
+            if history0 is None:
+                history0 = jnp.zeros(
+                    (cfg.height, cfg.width, 3), jnp.float32
+                )
+            taa_dev = jax.tree.map(jnp.asarray, taa_batch)
+            return _compiled_taa(key)(
+                scene, uni_dev, pool, post, lights, ibl, taa_dev,
+                jnp.asarray(history0),
+            )
+        if taa_batch is not None:
+            raise ValueError("taa_batch given but config.taa_enabled=False")
         return _compiled(key)(scene, uni_dev, pool, post, lights, ibl)
 
     return frames

@@ -7,6 +7,7 @@ from .scene import DrawItem, SceneBuffers, build_scene
 from .shadow_map import ShadowConfig
 from .live_view import LiveViewSurface
 from .surface import FileStreamSurface, HeadlessSurface, SurfaceProvider
+from .terminal_surface import TerminalSurface
 from .temporal_aa import TaaConfig, TemporalAA
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "FileStreamSurface",
     "HeadlessSurface",
     "LiveViewSurface",
+    "TerminalSurface",
     "SurfaceProvider",
     "TaaConfig",
     "TemporalAA",

@@ -130,6 +130,11 @@ class CascadedShadowMap:
             camera_proj.tobytes(),
             light_dir.tobytes(),
             float(shadow_distance),
+            # Config knobs that shape the fit (ADVICE r3: a runtime
+            # csm_manager.config mutation must not serve stale cascades).
+            self.config.cascade_count,
+            self.config.resolution,
+            self.config.split_lambda,
         )
         if key == self._update_key:
             return

@@ -122,6 +122,63 @@ def profile_passes(
     return profiles_from_xplane(pbs[-1])
 
 
+def calibration_program(size: int = 1024, loops: int = 16):
+    """Fixed-work calibration kernel for the device-time perf guard.
+
+    A chained f32 matmul loop (`loops` x `size`^2 @ `size`^2, data-
+    dependent so XLA cannot elide iterations) whose device time is a
+    hardware constant. Guarding the RATIO frame_device_ms /
+    calib_device_ms from one trace session is immune to BOTH tunnel
+    dispatch noise (wall fps swings 2-4x with time of day, PERF_BUDGET
+    comment) and the tunnel trace clock's bogus absolute scale (~600x
+    off, see PassProfile.scaled_rows — both programs share the clock, so
+    the scale cancels). Returns (jitted_fn, input_array); the module
+    traces under a name containing "ash_guard_calib"."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def ash_guard_calib(x):
+        def body(_, a):
+            return a @ x
+
+        return jax.lax.fori_loop(0, loops, body, x)
+
+    return ash_guard_calib, jnp.full((size, size), 1e-3, jnp.float32)
+
+
+def device_frame_ratio(
+    run_frame: Callable[[], None],
+    iters: int = 12,
+    warmup: int = 2,
+    calib=None,
+):
+    """Measure frame-device-time / calibration-device-time in ONE trace
+    session. Returns (ratio, frame_ms_trace_units, calib_ms_trace_units,
+    profiles) or None if the trace lacked either side. The frame side
+    sums every non-calibration module (split pipelines run shadow + band
+    + finalize as separate executables)."""
+    fn, x = calib if calib is not None else calibration_program()
+    fn(x).block_until_ready()  # compile + warm outside the trace
+
+    def run_both():
+        run_frame()
+        fn(x).block_until_ready()
+
+    profs = profile_passes(run_both, iters=iters, warmup=warmup)
+    calib_ms = sum(
+        p.total_ms for p in profs if "ash_guard_calib" in p.module_name
+    )
+    frame_ms = sum(
+        p.total_ms * (p.executions / max(iters, 1))
+        for p in profs
+        if "ash_guard_calib" not in p.module_name
+    )
+    if calib_ms <= 0 or frame_ms <= 0:
+        return None
+    return frame_ms / calib_ms, frame_ms, calib_ms, profs
+
+
 def profiles_from_xplane(path: str) -> List[PassProfile]:
     planes = parse_planes(path)
     out: List[PassProfile] = []

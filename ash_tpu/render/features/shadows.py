@@ -37,6 +37,12 @@ class ShadowFeature(RenderFeature):
         self.scene_radius = float(radius)
         self._bounds_explicit = True
 
+    @property
+    def bounds_pinned(self) -> bool:
+        """True once set_scene_bounds pinned the volume — auto_fit_bounds
+        is a no-op from then on, so callers may skip computing the fit."""
+        return self._bounds_explicit
+
     def auto_fit_bounds(self, center, radius: float) -> None:
         """Fit the light volume to the built scene unless the app pinned
         bounds via set_scene_bounds. The reference keeps a fixed r=20 volume

@@ -147,8 +147,8 @@ def test_single_trace_cold_start_taa_and_occlusion():
     import ash_tpu.render.frame as frame_mod
 
     seen = []
-    orig_band = frame_mod.compiled_band
-    orig_fin = frame_mod.compiled_finalize
+    orig_band = frame_mod.compiled_band_packed
+    orig_fin = frame_mod.compiled_finalize_packed
 
     def band_wrapper(config, effort=None):
         fn = orig_band(config, effort)
@@ -160,15 +160,15 @@ def test_single_trace_cold_start_taa_and_occlusion():
         seen.append(("fin", fn))
         return fn
 
-    frame_mod.compiled_band = band_wrapper
-    frame_mod.compiled_finalize = fin_wrapper
+    frame_mod.compiled_band_packed = band_wrapper
+    frame_mod.compiled_finalize_packed = fin_wrapper
     try:
         for _ in range(3):
             r.render_frame(cam.view_matrix(), cam.projection_matrix(),
                            cam.position)
     finally:
-        frame_mod.compiled_band = orig_band
-        frame_mod.compiled_finalize = orig_fin
+        frame_mod.compiled_band_packed = orig_band
+        frame_mod.compiled_finalize_packed = orig_fin
     for kind in ("band", "fin"):
         fns = [fn for k, fn in seen if k == kind]
         assert fns, f"{kind} program never requested"

@@ -87,10 +87,76 @@ def test_frame_parallel_matches_sequential():
         assert int(out.covered_pixels[i]) == int(ref.covered_pixels)
 
 
-def test_frame_parallel_rejects_taa():
+def test_frame_parallel_rejects_taau():
+    """TAAU (render_scale) stays band-mode-only; plain TAA is pipelined."""
     mesh = Mesh(jax.devices()[:2], ("fp",))
-    with pytest.raises(ValueError, match="TAA"):
-        make_frame_parallel(_config(taa_enabled=True), mesh)
+    with pytest.raises(ValueError, match="TAAU"):
+        make_frame_parallel(
+            _config(taa_enabled=True, render_scale=0.5), mesh
+        )
+
+
+def test_frame_parallel_pipelined_taa_matches_sequential():
+    """TAA history pipelined chip-to-chip (VERDICT r3 item 9): a 4-frame
+    farm batch must produce the SAME images as a single chip rendering
+    the 4 frames sequentially, carrying history between frames."""
+    from ash_tpu.ops.taa import TaaParams
+
+    n = 4
+    mesh = Mesh(jax.devices()[:n], ("fp",))
+    cfg = _config(taa_enabled=True)
+    scene, uni0, extras = graft._example_scene(rich=True)
+    lights = np.asarray(extras["lights"], np.float32)
+
+    unis = [_uniforms_for_angle(0.1 * i, uni0) for i in range(n)]
+    # prev matrices for velocity: frame i's previous camera is frame i-1's.
+    for i in range(n):
+        prev = unis[max(i - 1, 0)]
+        unis[i] = unis[i]._replace(
+            prev_view_proj=prev.view_proj, prev_models=unis[i].models
+        )
+    batch = batch_uniforms([jax.tree.map(np.asarray, u) for u in unis])
+    lights_b = np.tile(lights[None], (n, 1, 1))
+    taa_list = [
+        TaaParams(
+            blend_factor=np.float32(0.0 if i == 0 else 0.9),
+            color_clamp=np.float32(1.0),
+            velocity_rejection=np.float32(1.0),
+            jitter=np.zeros(2, np.float32),
+            prev_jitter=np.zeros(2, np.float32),
+        )
+        for i in range(n)
+    ]
+    taa_batch = jax.tree.map(lambda *xs: np.stack(xs), *taa_list)
+
+    frames = make_frame_parallel(cfg, mesh)
+    out = frames(scene, batch, pool=extras["pool"], lights=lights_b,
+                 taa_batch=taa_batch)
+    assert out.image.shape == (n, 64, 96, 4)
+    assert out.history.shape == (n, 64, 96, 3)
+
+    import jax.numpy as jnp
+
+    ref_fn = jax.jit(
+        lambda u, p, t, h, l: render_frame_program(
+            cfg, scene, u, p, None, t, h, l, None, None
+        )
+    )
+    history = jnp.zeros((64, 96, 3), jnp.float32)
+    for i in range(n):
+        ref = ref_fn(
+            jax.tree.map(jnp.asarray, unis[i]), extras["pool"],
+            jax.tree.map(jnp.asarray, taa_list[i]), history,
+            jnp.asarray(lights),
+        )
+        history = ref.history
+        a = np.asarray(out.image[i]).astype(np.int16)
+        b = np.asarray(ref.image).astype(np.int16)
+        diff = np.abs(a - b)
+        frac = (diff > 1).mean()
+        assert frac < 1e-3, (
+            f"frame {i}: {frac:.2%} pixels beyond 1 LSB (max {diff.max()})"
+        )
 
 
 def test_frame_parallel_batch_size_check():

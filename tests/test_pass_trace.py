@@ -83,3 +83,54 @@ def test_table_renders(xplane_path):
     frame = profiles_from_xplane(xplane_path)[0]
     t = frame.table()
     assert "ms/frame device time" in t and "pass_shade" in t
+
+
+def test_calibration_program_runs():
+    from ash_tpu.render.diagnostics.pass_trace import calibration_program
+
+    fn, x = calibration_program(size=64, loops=2)
+    out = fn(x)
+    assert out.shape == (64, 64)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_device_frame_ratio_math(monkeypatch):
+    """Ratio = sum(per-frame device ms of non-calib modules) / calib ms —
+    split pipelines (shadow executing every other frame, etc.) weight by
+    executions/iters; the calibration module is excluded from the frame
+    side by name."""
+    from ash_tpu.render.diagnostics import pass_trace as pt
+
+    profs = [
+        pt.PassProfile(module_name="jit_frame", executions=12,
+                       total_ms=2.0),
+        pt.PassProfile(module_name="jit_shadow", executions=6,
+                       total_ms=1.0),  # every other frame
+        pt.PassProfile(module_name="jit_ash_guard_calib", executions=12,
+                       total_ms=4.0),
+    ]
+    monkeypatch.setattr(
+        pt, "profile_passes", lambda fn, iters=12, warmup=2: profs
+    )
+    calls = []
+
+    def fake_calib():
+        class _F:
+            def __call__(self, x):
+                class _R:
+                    def block_until_ready(self):
+                        calls.append(1)
+                return _R()
+        return _F(), None
+
+    ratio, frame_ms, calib_ms, out_profs = pt.device_frame_ratio(
+        lambda: None, iters=12, calib=fake_calib()
+    )
+    # frame side: 2.0 * 12/12 + 1.0 * 6/12 = 2.5; calib 4.0.
+    assert abs(ratio - 2.5 / 4.0) < 1e-9
+    assert abs(frame_ms - 2.5) < 1e-9
+    assert abs(calib_ms - 4.0) < 1e-9
+    assert out_profs is profs
+    assert calls  # warmed the calibration program before tracing
