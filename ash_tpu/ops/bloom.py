@@ -37,10 +37,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .layout import to_cf, to_cl
 
-LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
+# numpy, NOT jnp: a module-level device array would initialize
+# the JAX backend at import time (which hangs a subprocess that
+# needs to pin its platform first — see render/aot_worker.py).
+LUMA = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
 
 # ---------------------------------------------------------------------------

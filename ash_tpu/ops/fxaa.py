@@ -16,10 +16,14 @@ reductions on (H, W, 3) cost milliseconds at 1080p (see ops/bloom.py).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .layout import to_cf, to_cl
 
-LUMA = jnp.asarray([0.299, 0.587, 0.114])
+# numpy, NOT jnp: a module-level device array would initialize
+# the JAX backend at import time (which hangs a subprocess that
+# needs to pin its platform first — see render/aot_worker.py).
+LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 EDGE_THRESHOLD = 1.0 / 8.0  # relative contrast threshold
 EDGE_THRESHOLD_MIN = 1.0 / 24.0  # absolute floor

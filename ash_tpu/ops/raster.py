@@ -149,6 +149,7 @@ def rasterize(
     unroll: int = 8,
     y0=0,
     layers: int = 1,
+    depth_floor=None,
 ) -> VisibilityBuffer:
     """Scan-based rasterizer: one triangle per tile per scan step.
 
@@ -161,6 +162,12 @@ def rasterize(
 
     `layers=2` additionally tracks the second-nearest surface per pixel
     (single-pass depth peeling) for alpha-test fallthrough.
+
+    `depth_floor`: optional (H, W) f32 — candidates at z <= floor are
+    rejected, which is what lets iterated peeling re-run the raster to
+    capture layers K.. (the surfaces STRICTLY behind a previous pass's
+    deepest kept layer; coplanar duplicates at exactly the floor depth
+    are dropped, the classic depth-peel tie limitation).
     """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
@@ -176,6 +183,11 @@ def rasterize(
     zbuf0 = jnp.ones((num_tiles, tile_h, tile_w), jnp.float32)
     tid0 = jnp.full((num_tiles, tile_h, tile_w), -1, jnp.int32)
 
+    floor = (
+        None if depth_floor is None
+        else tile_image(depth_floor, tile_h, tile_w)
+    )
+
     if layers == 1:
 
         def step(carry, inputs):
@@ -183,6 +195,8 @@ def rasterize(
             tri, ids = inputs  # (num_tiles, 12), (num_tiles,)
             inside, z = coverage_and_depth(tri, px, py)
             ok = ids[:, None, None] >= 0
+            if floor is not None:
+                ok = ok & (z > floor)
             m = inside & ok & (z >= 0.0) & (z <= 1.0) & (z < zbuf)
             zbuf = jnp.where(m, z, zbuf)
             tid = jnp.where(m, ids[:, None, None], tid)
@@ -212,6 +226,8 @@ def rasterize(
         tri, ids = inputs
         inside, z = coverage_and_depth(tri, px, py)
         ok = ids[:, None, None] >= 0
+        if floor is not None:
+            ok = ok & (z > floor)
         hit = inside & ok & (z >= 0.0) & (z <= 1.0)
         cz, ct = z, jnp.broadcast_to(ids[:, None, None], z.shape)
         new_zs, new_ts = [], []

@@ -137,22 +137,27 @@ def _raster_kernel(
 
 def _raster_kernel_layers(
     counts_ref,  # SMEM (num_tiles,) int32 — scalar prefetch
-    *refs,  # data_ref, then z/t ref pairs per layer (all VMEM)
+    *refs,  # data_ref [, floor_ref], then z/t ref pairs per layer (VMEM)
     layers: int,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
+    has_floor: bool = False,
 ):
     """K-layer (depth-peeling) variant: the K nearest surfaces per pixel.
 
     Each hit bubbles down the per-pixel sorted layer list — at every layer
     the candidate either displaces the stored surface (the displaced one
     becomes the new candidate) or passes on. For K=2 this reduces exactly
-    to the classic closer/mid two-layer peel.
+    to the classic closer/mid two-layer peel. `has_floor` adds a per-pixel
+    minimum-depth input (iterated peeling: only surfaces STRICTLY behind
+    the floor are kept).
     """
     data_ref = refs[0]
-    z_refs = refs[1 : 1 + 2 * layers : 2]
-    t_refs = refs[2 : 2 + 2 * layers : 2]
+    base = 2 if has_floor else 1
+    floor = refs[1][0] if has_floor else None
+    z_refs = refs[base : base + 2 * layers : 2]
+    t_refs = refs[base + 1 : base + 1 + 2 * layers : 2]
     tile, px, py = _pixel_grid(tile_h, tile_w, tiles_x)
 
     ones = jnp.ones((tile_h, tile_w), jnp.float32)
@@ -169,6 +174,8 @@ def _raster_kernel_layers(
         ts = [tr[0] for tr in t_refs]
         for j in range(_PACK):
             hit, cz, ct = _eval_record(block, j, px, py)
+            if floor is not None:
+                hit = hit & (cz > floor)
             for li in range(layers):
                 swap = hit & (cz < zs[li])
                 zs[li], cz = (
@@ -197,12 +204,15 @@ def rasterize_pallas(
     y0=0,
     interpret: bool = False,
     layers: int = 1,
+    depth_floor=None,
 ) -> VisibilityBuffer:
     """Pallas visibility-buffer rasterizer (TPU). See module docstring.
 
     layers=2 keeps the two nearest surfaces per pixel (alpha-test support).
     `y0` may be traced (band offset under shard_map) — it is folded into the
     packed edge constants, not the kernel.
+    `depth_floor` ((H, W) f32, layers>=2 only): reject candidates at
+    z <= floor — the iterated-peel second pass.
     """
     ty, tx = grid_shape(height, width, tile_h, tile_w)
     num_tiles = ty * tx
@@ -218,6 +228,8 @@ def rasterize_pallas(
     tile_data = _pack_tile_data(setup, bins.tri_ids, y0)
 
     n_out = 2 * layers
+    if depth_floor is not None and layers < 2:
+        raise ValueError("depth_floor needs layers >= 2")
     if layers == 1:
         kernel = functools.partial(
             _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
@@ -226,20 +238,28 @@ def rasterize_pallas(
         kernel = functools.partial(
             _raster_kernel_layers, layers=layers,
             tile_h=tile_h, tile_w=tile_w, tiles_x=tx,
+            has_floor=depth_floor is not None,
         )
     block = lambda: pl.BlockSpec(  # noqa: E731
         (1, tile_h, tile_w), lambda i, counts: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, k // _PACK, _PACK * _ROW), lambda i, counts: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [tile_data]
+    if depth_floor is not None:
+        from .raster import tile_image
+
+        in_specs.append(block())
+        inputs.append(tile_image(depth_floor, tile_h, tile_w))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, k // _PACK, _PACK * _ROW), lambda i, counts: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[block() for _ in range(n_out)],
     )
     shapes = []
@@ -253,7 +273,7 @@ def rasterize_pallas(
         grid_spec=grid_spec,
         out_shape=shapes,
         interpret=interpret,
-    )(bins.counts, tile_data)
+    )(bins.counts, *inputs)
 
     def u(x):
         return untile(x, height, width, tile_h, tile_w)

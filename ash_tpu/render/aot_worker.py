@@ -38,6 +38,12 @@ def main(path: str) -> int:
 
     import jax
 
+    # Pin the PARENT's platform before any backend init: the ambient
+    # environment (sitecustomize) may force a remote plugin whose config
+    # overrides JAX_PLATFORMS — a CPU-parent worker would otherwise hang
+    # trying to reach a TPU tunnel that the parent never used.
+    if job.get("platforms"):
+        jax.config.update("jax_platforms", job["platforms"])
     jax.config.update("jax_compilation_cache_dir", job["cache_dir"])
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

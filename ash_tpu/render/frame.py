@@ -111,6 +111,13 @@ class FrameConfig:
     # alpha_test when both apply.
     alpha_blend: bool = False
     transparency_layers: int = 2  # K in [2, 8]; cost ~K shades + K peel bufs
+    # Iterated depth peeling: each extra pass re-runs the raster with a
+    # per-pixel depth floor at the previous pass's deepest kept layer,
+    # capturing the NEXT K surfaces — exact transparency to
+    # passes*K - 1 surfaces (coplanar surfaces at exactly the floor depth
+    # drop, the classic peel tie limit). Cost: one extra raster + K more
+    # shades per pass; alpha_blend only.
+    transparency_passes: int = 1
     shading: str = "pbr"  # "pbr" | "flat"
     reinhard: bool = True  # in-shader tonemap (frag.frag:227); off for HDR post
     clear_color: tuple = (0.0, 0.0, 0.0)
@@ -496,6 +503,23 @@ def band_rows(cfg: "FrameConfig", n: int) -> int:
     return per
 
 
+def _concat_vis_layers(a, b):
+    """Append b's peel layers after a's (b must be strictly deeper —
+    produced with depth_floor at a's deepest layer)."""
+    za = [a.layer(i)[0] for i in range(a.num_layers)]
+    ta = [a.layer(i)[1] for i in range(a.num_layers)]
+    zb = [b.layer(i)[0] for i in range(b.num_layers)]
+    tb = [b.layer(i)[1] for i in range(b.num_layers)]
+    zs, ts = za + zb, ta + tb
+    from ..ops.raster import VisibilityBuffer
+
+    return VisibilityBuffer(
+        depth=zs[0], tri_id=ts[0], depth2=zs[1], tri_id2=ts[1],
+        depth_rest=jnp.stack(zs[2:]) if len(zs) > 2 else None,
+        tri_id_rest=jnp.stack(ts[2:]) if len(ts) > 2 else None,
+    )
+
+
 def render_band(
     config: FrameConfig,
     scene: SceneBuffers,
@@ -661,13 +685,26 @@ def render_band(
         cfg.alpha_test and cfg.textured and pool is not None and not blend
     )
     with jax.named_scope("pass_raster"):
+        peel_layers = (
+            max(2, cfg.transparency_layers) if blend
+            else 2 if alpha_main else 1
+        )
         vis = _raster(cfg)(
             setup, bins, bhr, rw, cfg.tile_h, cfg.tile_w, y0=y0r,
-            layers=(
-                max(2, cfg.transparency_layers) if blend
-                else 2 if alpha_main else 1
-            ),
+            layers=peel_layers,
         )
+        if blend and cfg.transparency_passes > 1:
+            # Iterated peel: pass p rasterizes only surfaces strictly
+            # behind pass p-1's deepest kept layer; since every new layer
+            # is deeper than ALL previously kept ones, plain concatenation
+            # preserves the global nearest-first order.
+            for _ in range(cfg.transparency_passes - 1):
+                fl_z, _fl_t = vis.layer(vis.num_layers - 1)
+                vis_next = _raster(cfg)(
+                    setup, bins, bhr, rw, cfg.tile_h, cfg.tile_w, y0=y0r,
+                    layers=peel_layers, depth_floor=fl_z,
+                )
+                vis = _concat_vis_layers(vis, vis_next)
         if alpha_main:
             from ..ops.shade import resolve_alpha_test
 

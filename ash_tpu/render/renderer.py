@@ -231,11 +231,18 @@ class RendererConfig:
     # serialized vkPipelineCache, pipeline_cache.rs:45-53). Path to a cache
     # directory, or None.
     compilation_cache_dir: Optional[str] = None
-    # Anisotropic filtering taps (1 = trilinear; reference sampler: 16x).
-    max_anisotropy: int = 1
+    # Anisotropic filtering taps. 16 matches the reference sampler
+    # (texture.rs:313-327). Compile-affordable since the tap loop became
+    # a dynamic-trip while_loop (trace size constant in tap count; the
+    # old unrolled sampler forced the default to 1); head-on frames run
+    # one tap, only frames containing grazing surfaces sample deeper.
+    max_anisotropy: int = 16
     # Depth-peel layers for alpha blending (K-1 exact transparent surfaces
     # over anything; ~K x shading cost when a transparent draw exists).
     transparency_layers: int = 2
+    # Iterated depth peeling (exact transparency to passes*K - 1 surfaces;
+    # each extra pass costs one more raster + K shades). 1 = single-pass.
+    transparency_passes: int = 1
     # TAA upsampling perf preset: raster at render_scale x resolution and
     # let jittered TAA accumulate back to full res (needs HDR + TAA on;
     # see set_render_scale). 1.0 = native.
@@ -931,6 +938,7 @@ class Renderer:
             textured=textured,
             max_anisotropy=c.max_anisotropy,
             transparency_layers=c.transparency_layers,
+            transparency_passes=c.transparency_passes,
             render_scale=(
                 self._render_scale
                 if self.hdr_enabled and self.temporal_aa.is_enabled()
@@ -1901,6 +1909,12 @@ class Renderer:
                 "config": config,
                 "cold_effort": cold_effort,
                 "argspecs": argspecs,
+                # The worker must target the SAME backend; without this a
+                # CPU-parent worker can hang initializing an ambient
+                # remote TPU plugin the parent never touched.
+                "platforms": (
+                    jax.config.jax_platforms or jax.default_backend()
+                ),
             }
             fd, path = tempfile.mkstemp(suffix=".aotjob")
             with os.fdopen(fd, "wb") as f:
@@ -1912,8 +1926,21 @@ class Renderer:
             env["PYTHONPATH"] = (
                 pkg_root + os.pathsep + env.get("PYTHONPATH", "")
             )
+            # -c bootstrap, NOT -m: the platform must be pinned BEFORE the
+            # package import (any module-level jnp constant would
+            # otherwise initialize the ambient backend — on a dead tunnel
+            # that hangs the worker forever).
+            bootstrap = (
+                "import sys\n"
+                "import jax\n"
+                "if sys.argv[2]:\n"
+                "    jax.config.update('jax_platforms', sys.argv[2])\n"
+                "from ash_tpu.render import aot_worker\n"
+                "sys.exit(aot_worker.main(sys.argv[1]))\n"
+            )
             p = subprocess.run(
-                [sys.executable, "-m", "ash_tpu.render.aot_worker", path],
+                [sys.executable, "-c", bootstrap, path,
+                 job["platforms"] or ""],
                 capture_output=True, text=True, timeout=1800, env=env,
             )
             if p.returncode != 0:

@@ -4,9 +4,11 @@ The second parallelism axis next to example 05's screen-space bands
 (ash_tpu/parallel/frame_parallel.py): every device renders a DIFFERENT
 frame of a camera orbit — scene buffers replicate once, per-frame uniforms
 shard along the mesh, zero cross-device communication. The right axis for
-offline/animation throughput; use band mode (05) for single-frame latency
-and temporal features (TAA history is sequential, so frame-parallel mode
-rejects it).
+offline/animation throughput; use band mode (05) for single-frame latency.
+TAA works here too (round 4): the farm pipelines history chip-to-chip
+over a ppermute ring — the n renders stay parallel, only the cheap
+resolve chain serializes — and history carries BETWEEN batches through
+`history0`, so the whole sequence is temporally continuous.
 
 On a CPU host, force virtual devices:
 
@@ -57,7 +59,7 @@ def main(out_prefix="anim"):
     config = FrameConfig(
         width=256, height=192, tile_h=16, tile_w=128, max_tris_per_tile=64,
         shadow_resolution=256, shadow_tile=64, shadow_max_tris_per_tile=64,
-        post_enabled=True, bloom_mips=3, reinhard=False,
+        post_enabled=True, bloom_mips=3, reinhard=False, taa_enabled=True,
     )
     scene, uni0 = ge._example_scene(n_cubes=12)
 
@@ -75,14 +77,39 @@ def main(out_prefix="anim"):
             projection=proj.astype(np.float32),
         )
 
+    from ash_tpu.ops.taa import TaaParams
+
+    def taa_for(frame_idx):
+        return TaaParams(
+            blend_factor=np.float32(0.0 if frame_idx == 0 else 0.9),
+            color_clamp=np.float32(1.0),
+            velocity_rejection=np.float32(0.0),
+            jitter=np.zeros(2, np.float32),
+            prev_jitter=np.zeros(2, np.float32),
+        )
+
     frames_fn = make_frame_parallel(config, mesh)
     total = 2 * n  # two batches of n frames
     t0 = time.perf_counter()
     images = []
+    history = None  # carries between batches: chip 0 of batch b+1
+    # consumes the last chip of batch b's resolved frame
+    prev_u = orbit_uniforms(0, total)
     for batch_start in range(0, total, n):
-        unis = [orbit_uniforms(batch_start + i, total) for i in range(n)]
-        out = frames_fn(scene, batch_uniforms(unis))
+        unis = []
+        for i in range(n):
+            u = orbit_uniforms(batch_start + i, total)
+            # velocity: previous frame's camera (frame-to-frame motion)
+            unis.append(u._replace(prev_view_proj=prev_u.view_proj,
+                                   prev_models=u.models))
+            prev_u = u
+        taa_batch = batch_uniforms(
+            [taa_for(batch_start + i) for i in range(n)]
+        )
+        out = frames_fn(scene, batch_uniforms(unis),
+                        taa_batch=taa_batch, history0=history)
         images.append(np.asarray(out.image))  # (n, H, W, 4)
+        history = out.history[n - 1]
     dt = time.perf_counter() - t0
     print(f"{total} frames in {dt:.2f}s "
           f"({total / dt:.1f} frames/s aggregate, batches of {n})")

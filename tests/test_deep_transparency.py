@@ -166,3 +166,69 @@ def test_error_monotone_in_k():
         errs.append(np.abs(got - want).max())
     assert errs[0] >= errs[1] >= errs[2], errs
     assert errs[2] < 0.05, f"K=8 error too large: {errs}"
+
+
+def _render_passes(alphas, K, passes, use_pallas=False):
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=64,
+                       shadows_enabled=False,
+                       transparency_layers=K,
+                       transparency_passes=passes,
+                       use_pallas=use_pallas),
+    )
+    r.register_mesh_handle(0, Mesh.create_plane("quad", size=1.5))
+    rng = np.random.default_rng(42)
+    commands = []
+    for i, a in enumerate(alphas):
+        color = (*rng.random(3).tolist(), a)
+        r.register_material_handle(i + 1, Material(color=color))
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0, 2.0 - 0.15 * i, 0]
+        commands.append(RenderCommand(mesh=0, transform=m, material=i + 1))
+    r.register_material_handle(999, Material(color=(1, 1, 1, 1.0)))
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [0, 2.0 - 0.15 * len(alphas) - 0.3, 0]
+    commands.append(RenderCommand(mesh=0, transform=m, material=999))
+    r.submit_render_commands(commands)
+    cam = Camera.new([0, 6.0, 0.01], [0, 0, 0], 1.0)
+    out = r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                         cam.position)
+    return np.asarray(out.color, np.float64)
+
+
+def test_iterated_peel_exact_beyond_single_pass():
+    """transparency_passes=2 at K=4 captures 8 peel layers: a 6-pane
+    stack (+opaque base = 7 surfaces) composites EXACTLY where the
+    single-pass K=4 approximation measurably errs."""
+    alphas = [0.3] * 6
+    want = _oracle(alphas)
+    single = _render_passes(alphas, 4, 1)[PX]
+    double = _render_passes(alphas, 4, 2)[PX]
+    err1 = np.abs(single - want).max()
+    err2 = np.abs(double - want).max()
+    assert err1 > 1e-4, f"single-pass unexpectedly exact ({err1})"
+    assert err2 < 2e-3, f"iterated peel not exact: {err2} (single {err1})"
+
+
+def test_iterated_peel_pallas_matches_scan():
+    """The depth_floor path of the Pallas kernel (interpret mode on CPU)
+    == the scan oracle."""
+    import functools
+
+    import ash_tpu.ops.raster_pallas as rp
+    import ash_tpu.render.frame as frame_mod
+
+    alphas = [0.4] * 5
+    scan = _render_passes(alphas, 3, 2, use_pallas=False)
+    orig = rp.rasterize_pallas
+    saved = frame_mod.rasterize_pallas
+    frame_mod.rasterize_pallas = functools.partial(orig, interpret=True)
+    try:
+        pallas = _render_passes(alphas, 3, 2, use_pallas=True)
+    finally:
+        frame_mod.rasterize_pallas = saved
+    assert np.allclose(scan, pallas, atol=1e-5), (
+        np.abs(scan - pallas).max()
+    )

@@ -222,8 +222,11 @@ def test_sharded_culling_lod_matches_single(lod_example):
         scene, uni, pool=pool, lights=lights, prev_depth=sharded1.depth
     )
     assert_images_match(sharded2.image, single2.image)
+    # Depth agrees to float tolerance (band vs fused programs associate
+    # FMAs differently — same reason images get 1 LSB, see
+    # assert_images_match).
     np.testing.assert_allclose(
-        np.asarray(sharded2.depth), np.asarray(single2.depth), atol=1e-6
+        np.asarray(sharded2.depth), np.asarray(single2.depth), atol=1e-4
     )
 
 
