@@ -138,6 +138,13 @@ def interpolate_gbuffer(
     fb_width: Optional[int] = None,  # velocity uv normalization (bands)
     vert_uid: Optional[jnp.ndarray] = None,  # (Ve,) -> unique vertex
     packed: bool = False,  # gather ONE per-triangle record per pixel
+    pixel_xy: Optional[tuple] = None,  # explicit (px, py) f32 GLOBAL render
+    # coords per element — edge-adaptive MSAA interpolates at pixel centers
+    # and at compacted worklist samples whose positions the iota grid
+    # cannot express (ops/msaa_edge.py). Defaults to the (h, w) pixel grid.
+    deriv_step: tuple = (1.0, 1.0),  # uv_ddx/ddy step in render pixels —
+    # (ssaa_x, ssaa_y) for center shading so mip selection sees the 1x
+    # presentation-pixel footprint (hardware MSAA's shading rate).
 ) -> GBuffer:
     h, w = tri_id.shape
     fb_h = fb_height if fb_height is not None else h
@@ -197,7 +204,7 @@ def interpolate_gbuffer(
         color3 = vert_color[uids]
         prev3 = prev_clip[vids] if prev_clip is not None else None
 
-    px, py = _pixel_grid(h, w, y0)
+    px, py = pixel_xy if pixel_xy is not None else _pixel_grid(h, w, y0)
 
     def weights_at(px_, py_):
         return _perspective_weights(edge, px_, py_)
@@ -212,8 +219,11 @@ def interpolate_gbuffer(
     # Analytic screen-space UV derivatives: re-evaluate the projective
     # interpolation one pixel right/down (exact, replaces the GPU's 2x2-quad
     # finite differences used for mip selection).
-    uv_x = _interp(weights_at(px + 1.0, py), uv3)
-    uv_y = _interp(weights_at(px, py + 1.0), uv3)
+    # The step is deriv_step render pixels (un-normalized: the mip/aniso
+    # footprint should BE the shading footprint, one presentation pixel
+    # when shading at center rate).
+    uv_x = _interp(weights_at(px + deriv_step[0], py), uv3)
+    uv_y = _interp(weights_at(px, py + deriv_step[1]), uv3)
 
     # Motion vectors: interpolate LAST frame's clip position of this surface
     # point, project, and diff against the pixel's own uv. Feeds the TAA
@@ -419,6 +429,10 @@ def shade_pbr(
     max_anisotropy: int = 1,  # reference sampler: 16x (texture.rs:313-327)
     ibl=None,  # ops/ibl.EnvironmentIBL: replaces the flat ambient term
     dtype=jnp.float32,  # bf16 experiment: BRDF/lighting arithmetic dtype
+    pixel_xy: Optional[tuple] = None,  # explicit (px, py) int32 BAND-LOCAL
+    # render coords per element for the Forward+ tile lookup — required
+    # when the gbuffer is not an iota-addressable image (edge-adaptive
+    # MSAA's center grid / compacted worklist, ops/msaa_edge.py).
 ) -> jnp.ndarray:
     """Shade the visibility buffer -> (H, W, 3) color.
 
@@ -556,8 +570,11 @@ def shade_pbr(
     # indexing), so screen-space sharding needs no offset here.
     if lights is not None and tile_light_indices is not None:
         hgt, wdt = gbuf.mask.shape
-        py = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0)
-        px = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 1)
+        if pixel_xy is not None:
+            px, py = pixel_xy
+        else:
+            py = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 0)
+            px = jax.lax.broadcasted_iota(jnp.int32, (hgt, wdt), 1)
         t_y = jnp.clip(py // light_tile_size, 0, tile_light_indices.shape[0] - 1)
         t_x = jnp.clip(px // light_tile_size, 0, tile_light_indices.shape[1] - 1)
         k_slots = tile_light_indices.shape[-1]

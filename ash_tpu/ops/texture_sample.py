@@ -11,17 +11,17 @@ the reference's bindless indices, including -1 = "no texture -> white"
 Sampling implements the reference sampler state (texture.rs:313-327): REPEAT
 addressing, bilinear min/mag, LINEAR mipmap (trilinear). Anisotropic
 filtering (16x in the reference) is implemented in ops/shade.py
-(footprint-assembly multi-tap, see shade.py's anisotropic path) and enabled
-via FrameConfig.max_anisotropy. The DEFAULT is 1 (trilinear only) — a
-deliberate trade, but NOT for runtime: measured on the chip (1080p textured
-scene, 201 draws, separate fresh processes), aniso=16 renders at the same
-frame time as aniso=1 (0.43 vs 0.47 ms — the extra taps fuse into the
-shade pass, which has VPU headroom). The real cost is TRACE+COMPILE time:
-the 16-tap unrolled sampler at every texture-sample site takes ~200 s cold
-/ ~32 s even with a warm persistent cache (trace-side cost, uncacheable),
-vs 28 s / 3 s at aniso=1. Set RendererConfig.max_anisotropy=16 to match
-the reference sampler bit-for-bit at grazing angles (tests/golden/aniso16
-pins the look); keep 1 where compile latency matters.
+(footprint-assembly multi-tap along the major-axis footprint) and enabled
+via FrameConfig.max_anisotropy, which DEFAULTS to 16 — the reference
+sampler's setting. Runtime is free (measured on the chip, 1080p textured
+scene, 201 draws: 0.43 ms at aniso=16 vs 0.47 ms at aniso=1 — the taps
+fuse into the shade pass, which has VPU headroom), and since the tap loop
+became a dynamic-trip `lax.while_loop` bounded by max(n_taps) over the
+image, trace+compile cost is constant in tap count too (the earlier
+UNROLLED 16-tap sampler cost ~200 s cold / ~32 s warm-cache; the loop
+form compiles as fast as aniso=1, and head-on frames execute one tap).
+tests/golden/textured pins the 16x look; set max_anisotropy=1 for plain
+trilinear.
 
 Each bilinear fetch is 4 dynamic gathers from the flat texel array; trilinear
 is 8. Gathers vectorize over all pixels at once.

@@ -174,6 +174,19 @@ class FrameConfig:
     # x4 = (2,2) -> 4, x8 = (4,2) -> 8. (1,1) = off.
     ssaa_x: int = 1
     ssaa_y: int = 1
+    # MSAA resolve strategy. "ssaa" shades every sample — an honest Nx
+    # shading cost. "edge" reproduces the hardware MSAA cost profile
+    # (msaa_targets.rs:24-120: multisample cost only at geometry edges):
+    # pixels whose samples all see one triangle shade ONCE at the pixel
+    # center, edge pixels stream-compact into a fixed worklist that shades
+    # at full sample rate (ops/msaa_edge.py). Shading cost ~= 1x + N *
+    # edge_fraction. Requires pbr shading; exclusive with alpha blending
+    # (K-layer OIT already shades per layer).
+    msaa_resolve: str = "ssaa"
+    # Edge worklist capacity as a fraction of the band's presentation
+    # pixels; overflow degrades those pixels to center shading and reports
+    # via FrameOutputs.msaa_edge_overflow (never a silent cap).
+    msaa_edge_capacity: float = 0.125
     # GPU-driven culling: per-draw frustum culling every frame; Hi-Z
     # occlusion against the PREVIOUS frame's depth pyramid (standard
     # two-phase temporal scheme — the reference's occlusion_cull.comp reads
@@ -241,6 +254,9 @@ class FrameOutputs(NamedTuple):
     # triangles manifest as light leaks, so they must be as loud as main-pass
     # drops. None when shadows are disabled.
     shadow_overflow: Optional[jnp.ndarray] = None  # () int32
+    # Edge pixels past msaa_edge_capacity (they keep center shading — a
+    # quality, not correctness, loss). None unless msaa_resolve="edge".
+    msaa_edge_overflow: Optional[jnp.ndarray] = None  # () int32
 
 
 def _srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
@@ -479,6 +495,8 @@ class BandOutputs(NamedTuple):
     overflow: jnp.ndarray  # () int32
     shadow_overflow: Optional[jnp.ndarray]  # () int32 or None
     visible_draws: Optional[jnp.ndarray]  # () int32 or None
+    # Edge-adaptive MSAA worklist overflow (msaa_resolve="edge" only).
+    msaa_edge_overflow: Optional[jnp.ndarray] = None  # () int32 or None
 
 
 def _band_unit(cfg: "FrameConfig") -> int:
@@ -549,6 +567,17 @@ def render_band(
     if cfg.binning_policy not in ("draw_order", "nearest"):
         raise ValueError(f"unknown binning_policy {cfg.binning_policy!r}")
     sx, sy = max(int(cfg.ssaa_x), 1), max(int(cfg.ssaa_y), 1)
+    if cfg.msaa_resolve not in ("ssaa", "edge"):
+        raise ValueError(f"unknown msaa_resolve {cfg.msaa_resolve!r}")
+    edge_msaa = cfg.msaa_resolve == "edge" and (sx > 1 or sy > 1)
+    if edge_msaa:
+        if cfg.shading != "pbr":
+            raise ValueError("msaa_resolve='edge' requires pbr shading")
+        if cfg.alpha_blend:
+            raise ValueError(
+                "msaa_resolve='edge' is exclusive with alpha blending "
+                "(K-layer OIT already shades every peeled layer; use ssaa)"
+            )
     scale = float(cfg.render_scale)
     if scale != 1.0:
         if sx != 1 or sy != 1:
@@ -731,12 +760,32 @@ def render_band(
             )
             prev_clip = jnp.einsum("ij,vj->vi", uni.prev_view_proj, pw4)
 
-        gbuf = interpolate_gbuffer(
-            vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
-            scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
-            fb_height=rh, fb_width=rw, vert_uid=scene.vert_uid,
-            packed=cfg.gbuffer_packed,
-        )
+        edge_plan = None
+        if edge_msaa:
+            # Edge-adaptive MSAA (ops/msaa_edge.py): classify pixels by
+            # their sample-rate visibility, then build the CENTER gbuffer —
+            # one shaded point per presentation pixel, derivatives stepping
+            # one presentation pixel so mips match the 1x footprint.
+            from ..ops import msaa_edge
+
+            edge_plan = msaa_edge.classify(vis.tri_id, vis.depth, sy, sx)
+            pxc, pyc = msaa_edge.center_pixel_xy(
+                bhp, cfg.width, sy, sx, y0r
+            )
+            gbuf = interpolate_gbuffer(
+                edge_plan.primary_tid, setup, scene.tri_v, scene.tri_draw,
+                tv, scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
+                fb_height=rh, fb_width=rw, vert_uid=scene.vert_uid,
+                packed=cfg.gbuffer_packed, pixel_xy=(pxc, pyc),
+                deriv_step=(float(sx), float(sy)),
+            )
+        else:
+            gbuf = interpolate_gbuffer(
+                vis.tri_id, setup, scene.tri_v, scene.tri_draw, tv,
+                scene.uv, scene.color, y0=y0r, prev_clip=prev_clip,
+                fb_height=rh, fb_width=rw, vert_uid=scene.vert_uid,
+                packed=cfg.gbuffer_packed,
+            )
 
     with jax.named_scope("pass_light_cull"):
         tile_light_indices = None
@@ -755,7 +804,7 @@ def render_band(
                 tl.counts, cfg.shaded_lights_per_tile
             )
 
-    def run_shade(g):
+    def run_shade(g, pixel_xy=None):
         return shade_pbr(
             g,
             scene.materials,
@@ -785,10 +834,37 @@ def render_band(
             dtype=(
                 jnp.bfloat16 if cfg.shade_dtype == "bf16" else jnp.float32
             ),
+            pixel_xy=pixel_xy,
         )
 
+    msaa_edge_overflow = None
     with jax.named_scope("pass_shade"):
-        if cfg.shading == "flat":
+        if edge_plan is not None:
+            from ..ops import msaa_edge
+
+            # Center shading (1x rate), then the compacted edge worklist
+            # shades at full sample rate and box-resolves back — the
+            # hardware-MSAA cost profile (msaa_targets.rs:24-120).
+            color_c = run_shade(
+                gbuf,
+                pixel_xy=msaa_edge.center_tile_xy(bhp, cfg.width, sy, sx),
+            )
+            cap = msaa_edge.edge_capacity(
+                bhp * cfg.width, cfg.msaa_edge_capacity, sx * sy
+            )
+            wl = msaa_edge.build_worklist(
+                vis.tri_id, edge_plan, cap, sy, sx, y0r=y0r
+            )
+            gbuf_e = interpolate_gbuffer(
+                wl.tid, setup, scene.tri_v, scene.tri_draw, tv,
+                scene.uv, scene.color, fb_height=rh, fb_width=rw,
+                vert_uid=scene.vert_uid, packed=cfg.gbuffer_packed,
+                pixel_xy=(wl.px, wl.py),
+            )
+            color_e = run_shade(gbuf_e, pixel_xy=(wl.tile_px, wl.tile_py))
+            color = msaa_edge.resolve(color_c, color_e, wl, sx * sy)
+            msaa_edge_overflow = jnp.maximum(wl.n_edge - cap, 0)
+        elif cfg.shading == "flat":
             color = shade_flat(gbuf, clear_color=cfg.clear_color)
         else:
             color = run_shade(gbuf)
@@ -822,7 +898,11 @@ def render_band(
     with jax.named_scope("pass_resolve"):
         depth = vis.depth
         velocity = gbuf.velocity
-        if sx > 1 or sy > 1:
+        if edge_plan is not None:
+            # Edge mode: color and velocity already live at presentation
+            # resolution (center gbuffer); only depth needs the min-resolve.
+            depth = depth.reshape(bhp, sy, cfg.width, sx).min((1, 3))
+        elif sx > 1 or sy > 1:
             # SSAA resolve: box-average color, min-reduce depth (band-local).
             color = color.reshape(bhp, sy, cfg.width, sx, 3).mean((1, 3))
             depth = depth.reshape(bhp, sy, cfg.width, sx).min((1, 3))
@@ -838,6 +918,8 @@ def render_band(
         overflow = jax.lax.pmax(overflow, band.axis)
         if shadow_overflow is not None:
             shadow_overflow = jax.lax.pmax(shadow_overflow, band.axis)
+        if msaa_edge_overflow is not None:
+            msaa_edge_overflow = jax.lax.psum(msaa_edge_overflow, band.axis)
 
     return BandOutputs(
         color=color,
@@ -848,6 +930,7 @@ def render_band(
         overflow=overflow,
         shadow_overflow=shadow_overflow,
         visible_draws=visible_draws,
+        msaa_edge_overflow=msaa_edge_overflow,
     )
 
 
@@ -947,6 +1030,7 @@ def finalize_frame(
         history=new_history,
         visible_draws=bo.visible_draws,
         shadow_overflow=bo.shadow_overflow,
+        msaa_edge_overflow=bo.msaa_edge_overflow,
     )
 
 
@@ -1247,6 +1331,13 @@ def merge_band_outputs(a: BandOutputs, b: BandOutputs) -> BandOutputs:
         visible_draws=(
             a.visible_draws + b.visible_draws
             if a.visible_draws is not None and b.visible_draws is not None
+            else None
+        ),
+        # Per-chunk worklists are independent; total quality loss is the sum.
+        msaa_edge_overflow=(
+            a.msaa_edge_overflow + b.msaa_edge_overflow
+            if a.msaa_edge_overflow is not None
+            and b.msaa_edge_overflow is not None
             else None
         ),
     )

@@ -237,6 +237,12 @@ class RendererConfig:
     # old unrolled sampler forced the default to 1); head-on frames run
     # one tap, only frames containing grazing surfaces sample deeper.
     max_anisotropy: int = 16
+    # MSAA resolve strategy: "ssaa" shades every sample (honest Nx cost);
+    # "edge" shades once per pixel + a compacted edge worklist at sample
+    # rate — the hardware MSAA cost profile (msaa_targets.rs; see
+    # ops/msaa_edge.py). Applies when set_msaa_preset != "off".
+    msaa_resolve: str = "ssaa"
+    msaa_edge_capacity: float = 0.125  # edge worklist size, frac of pixels
     # Depth-peel layers for alpha blending (K-1 exact transparent surfaces
     # over anything; ~K x shading cost when a transparent draw exists).
     transparency_layers: int = 2
@@ -957,6 +963,8 @@ class Renderer:
             fxaa_enabled=self.fxaa_enabled,
             ssaa_x=MsaaPreset.SCALE[self.msaa][0],
             ssaa_y=MsaaPreset.SCALE[self.msaa][1],
+            msaa_resolve=c.msaa_resolve,
+            msaa_edge_capacity=c.msaa_edge_capacity,
             frustum_culling=c.frustum_culling,
             occlusion_culling=self.occlusion_culling,
             lod_enabled=(
@@ -2317,9 +2325,10 @@ class Renderer:
                     self.frame_count,
                     self._last_outputs.binning_overflow,
                     self._last_outputs.shadow_overflow,
+                    self._last_outputs.msaa_edge_overflow,
                 )
         elif self.frame_count - self._overflow_probe[0] >= 60:
-            _, main_of, shadow_of = self._overflow_probe
+            _, main_of, shadow_of, edge_of = self._overflow_probe
             self._overflow_probe = None
             import logging
 
@@ -2339,6 +2348,14 @@ class Renderer:
                     " RendererConfig.shadow_max_tris_per_tile",
                     self.config.shadow_max_tris_per_tile,
                     int(np.asarray(shadow_of)),
+                )
+            if edge_of is not None and int(np.asarray(edge_of)) > 0:
+                log.warning(
+                    "edge-MSAA worklist overflow: %d edge pixels past"
+                    " msaa_edge_capacity fell back to center shading"
+                    " (lost their AA); raise"
+                    " RendererConfig.msaa_edge_capacity",
+                    int(np.asarray(edge_of)),
                 )
         self.frame_profiler.record(frame_ms)
         fs = self.diagnostics_state.frame_stats

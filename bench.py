@@ -512,11 +512,23 @@ def main():
         if ok:
             overflow_counters = counters
             break
-        try:
-            read_out = r.render_frame(view, proj, cam.position)
-            read_out.image.block_until_ready()
-        except Exception:
+
+        # The re-dispatch itself must be watchdogged too: when the tunnel
+        # stream (not just one output buffer) is wedged, render_frame's
+        # block_until_ready hangs forever — observed 2026-08-19, it ate the
+        # animate config's metric line entirely. Give up on overflow
+        # evidence rather than the whole benchmark.
+        def _redispatch():
+            o = r.render_frame(view, proj, cam.position)
+            o.image.block_until_ready()
+            return o
+
+        ok2, fresh = with_timeout(
+            _redispatch, 30, f"overflow re-dispatch (attempt {attempt + 1})"
+        )
+        if not ok2:
             break
+        read_out = fresh
     if overflow_counters is not None:
         covered, main_of, shadow_of = overflow_counters
         print(
@@ -587,7 +599,15 @@ def main():
             if calib is not None:
                 calib[0](calib[1]).block_until_ready()
 
+            tft = [ft]
+
             def _run():
+                if args.animate:
+                    # The animated ratio must include the per-frame shadow
+                    # re-render: fresh transforms invalidate the shadow
+                    # cache exactly as the timing loop did.
+                    tft[0] += 1.0 / 60.0
+                    r.update_transforms(animated_models(anim, tft[0]))
                 r.render_frame(
                     view, proj, cam.position
                 ).image.block_until_ready()

@@ -262,3 +262,18 @@ def test_sharded_lod_selects_coarser_level(lod_example):
     assert_images_match(sharded_on.image, on.image)
     # LOD-on must differ from LOD-off for this camera (coarser geometry).
     assert not np.array_equal(np.asarray(on.image), np.asarray(off.image))
+
+
+def test_sharded_edge_msaa_matches_single(example):
+    """Edge-adaptive MSAA under shard_map: the per-band worklist compaction,
+    scatter resolve, and overflow psum must reproduce the single-chip frame
+    (each band compacts its own edges, so the band split never changes
+    which samples shade)."""
+    scene, uni = example
+    cfg = _config(shadows=False, ssaa_x=2, ssaa_y=2, msaa_resolve="edge")
+    uni = jax.tree.map(jnp.asarray, uni)
+    single = render_frame_program(cfg, scene, uni, None)
+    frame = make_sharded_frame(cfg, render_mesh(4))
+    got = frame(scene, uni)
+    assert_images_match(got.image, single.image)
+    assert int(got.msaa_edge_overflow) == int(single.msaa_edge_overflow) == 0
