@@ -134,6 +134,37 @@ def mat4_trs(translation, rotation_quat, scale) -> Array:
     )
 
 
+def mat4_trs_batch(translation, rotation_quat, scale) -> Array:
+    """Vectorized TRS -> (N, 4, 4): T * R(quat xyzw) * S, the reference
+    compose (transform.rs:22-26). ELEMENTWISE formulation — rotation columns
+    scaled, translation placed — whose float ops match mat4_trs's T@R@S
+    result bitwise (each matmul element reduces to one multiply), and match
+    the in-jit compose in render/frame.models_from_trs op for op, so
+    host-composed and device-composed frames are pixel-identical."""
+    t = np.asarray(translation, np.float32).reshape(-1, 3)
+    q = np.asarray(rotation_quat, np.float32).reshape(-1, 4)
+    s = np.asarray(scale, np.float32).reshape(t.shape[0], 3)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    x2, y2, z2 = x + x, y + y, z + z
+    xx, yy, zz = x * x2, y * y2, z * z2
+    xy, xz, yz = x * y2, x * z2, y * z2
+    wx, wy, wz = w * x2, w * y2, w * z2
+    n = t.shape[0]
+    m = np.zeros((n, 4, 4), np.float32)
+    m[:, 0, 0] = (1.0 - (yy + zz)) * s[:, 0]
+    m[:, 0, 1] = (xy - wz) * s[:, 1]
+    m[:, 0, 2] = (xz + wy) * s[:, 2]
+    m[:, 1, 0] = (xy + wz) * s[:, 0]
+    m[:, 1, 1] = (1.0 - (xx + zz)) * s[:, 1]
+    m[:, 1, 2] = (yz - wx) * s[:, 2]
+    m[:, 2, 0] = (xz - wy) * s[:, 0]
+    m[:, 2, 1] = (yz + wx) * s[:, 1]
+    m[:, 2, 2] = (1.0 - (xx + yy)) * s[:, 2]
+    m[:, :3, 3] = t
+    m[:, 3, 3] = 1.0
+    return m
+
+
 def look_at_rh(eye, center, up) -> Array:
     """Right-handed look-at view matrix (glam `Mat4::look_at_rh`).
 

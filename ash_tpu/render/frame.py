@@ -1167,6 +1167,77 @@ def pack_frame_consts(config, uni: FrameUniforms,
     return out
 
 
+def pack_frame_consts_dynamic(config, uni: FrameUniforms,
+                              post: Optional[PostParams],
+                              taa_params: Optional[TaaParams],
+                              models):
+    """pack_frame_consts with the per-draw model matrices appended: the
+    WHOLE per-frame state of a dynamic scene in one f32 upload. The
+    reference's animation path is per-draw push constants
+    (model_renderer.rs:309-385) — zero per-frame buffer traffic; on TPU the
+    equivalent is minimizing per-frame host->device transfers, and two
+    device_puts (models + consts) measured ~2.5x the host cost of one
+    (~0.19 ms vs ~0.06-0.08 ms each on the tunneled chip). A fresh buffer
+    per frame — reusing one could race an in-flight transfer."""
+    import numpy as np
+
+    _, total = consts_layout(config)
+    m = np.asarray(models, np.float32)
+    out = np.empty((total + m.size,), np.float32)
+    pack_frame_consts(config, uni, post, taa_params, out=out[:total])
+    out[total:] = m.ravel()
+    return out
+
+
+def pack_frame_consts_trs(config, uni: FrameUniforms,
+                          post: Optional[PostParams],
+                          taa_params: Optional[TaaParams],
+                          translations, rotations, scales):
+    """pack_frame_consts with per-draw TRS components appended
+    (t (N,3) | q (N,4) xyzw | s (N,3)): 10 floats/draw instead of 16 —
+    the animated upload is tunnel-bandwidth-bound, so bytes are the cost
+    (VERDICT r3 next-round #1: upload TRS, compose matrices in-jit)."""
+    import numpy as np
+
+    _, total = consts_layout(config)
+    t = np.asarray(translations, np.float32)
+    q = np.asarray(rotations, np.float32)
+    s = np.asarray(scales, np.float32)
+    n = t.shape[0]
+    out = np.empty((total + 10 * n,), np.float32)
+    pack_frame_consts(config, uni, post, taa_params, out=out[:total])
+    out[total:total + 3 * n] = t.ravel()
+    out[total + 3 * n:total + 7 * n] = q.ravel()
+    out[total + 7 * n:] = s.ravel()
+    return out
+
+
+def models_from_trs(t, q, s):
+    """In-jit TRS -> (N, 4, 4) model matrices: T * R(quat xyzw) * S
+    (transform.rs:22-26). Op-for-op the same float sequence as the host
+    compose (core/maths.mat4_trs_batch) so device-composed frames are
+    pixel-identical to host-composed ones."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    x2, y2, z2 = x + x, y + y, z + z
+    xx, yy, zz = x * x2, y * y2, z * z2
+    xy, xz, yz = x * y2, x * z2, y * z2
+    wx, wy, wz = w * x2, w * y2, w * z2
+    r = jnp.stack(
+        [
+            jnp.stack([1.0 - (yy + zz), xy - wz, xz + wy], -1),
+            jnp.stack([xy + wz, 1.0 - (xx + zz), yz - wx], -1),
+            jnp.stack([xz - wy, yz + wx, 1.0 - (xx + yy)], -1),
+        ],
+        -2,
+    )  # (N, 3, 3), rows i, columns j
+    r = r * s[:, None, :]  # scale column j by s_j (the * S compose)
+    top = jnp.concatenate([r, t[:, :, None]], axis=2)  # (N, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], r.dtype), (t.shape[0], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=1)
+
+
 def unpack_frame_consts(config, consts, models, prev_models):
     """Trace-time inverse of pack_frame_consts: static slices of the one
     uploaded buffer back into the FrameUniforms / PostParams / TaaParams
@@ -1279,6 +1350,65 @@ def compiled_shadow_packed(config: FrameConfig,
             (take("cascade_matrices")
              if config.shadow_cascades > 1 else None),
             pool,
+        )
+
+    return jax.jit(fn, **_jit_opts(effort))
+
+
+@_effort_cached
+def compiled_frame_dynamic(config: FrameConfig,
+                           effort: Optional[float] = None):
+    """Fused frame program for DYNAMIC scenes: the per-draw model matrices
+    ride the TAIL of the packed constants buffer (pack_frame_consts_dynamic),
+    so an animated frame costs ONE host->device upload and ONE dispatch.
+    Shadows render inline — a moving scene invalidates the standalone shadow
+    cache every frame anyway, so the split buys nothing and costs a second
+    dispatch. Non-post configs only (TAA consumes prev_models, which the
+    dynamic layout does not carry; the renderer materializes the standard
+    device-models upload on post paths instead)."""
+    if config.post_enabled:
+        raise ValueError("compiled_frame_dynamic is a non-post program")
+
+    def fn(scene, consts, pool, history, lights, prev_depth, ibl):
+        _, total = consts_layout(config)
+        d = scene.num_draws
+        models = jax.lax.slice_in_dim(
+            consts, total, total + 16 * d
+        ).reshape(d, 4, 4)
+        uni, post, taa = unpack_frame_consts(
+            config, consts[:total], models, None
+        )
+        return render_frame_program(
+            config, scene, uni, pool, post, taa, history, lights,
+            prev_depth, ibl, None,
+        )
+
+    return jax.jit(fn, **_jit_opts(effort))
+
+
+@_effort_cached
+def compiled_frame_dynamic_trs(config: FrameConfig,
+                               effort: Optional[float] = None):
+    """compiled_frame_dynamic, but the consts tail carries TRS components
+    (10 floats/draw) and the model matrices compose ON DEVICE
+    (models_from_trs) — 37% less per-frame upload for rigid-body animation,
+    where the tunneled transfer is bandwidth-bound (VERDICT r3 item 1)."""
+    if config.post_enabled:
+        raise ValueError("compiled_frame_dynamic_trs is a non-post program")
+
+    def fn(scene, consts, pool, history, lights, prev_depth, ibl):
+        _, total = consts_layout(config)
+        d = scene.num_draws
+        t = consts[total:total + 3 * d].reshape(d, 3)
+        q = consts[total + 3 * d:total + 7 * d].reshape(d, 4)
+        s = consts[total + 7 * d:total + 10 * d].reshape(d, 3)
+        models = models_from_trs(t, q, s)
+        uni, post, taa = unpack_frame_consts(
+            config, consts[:total], models, None
+        )
+        return render_frame_program(
+            config, scene, uni, pool, post, taa, history, lights,
+            prev_depth, ibl, None,
         )
 
     return jax.jit(fn, **_jit_opts(effort))

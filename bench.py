@@ -188,6 +188,21 @@ def animated_models(anim, t):
     return m
 
 
+def animated_models_trs(anim, t):
+    """The same animation as animated_models, expressed as TRS components
+    (translation/quaternion/scale = 10 floats per object instead of 16):
+    spin about Y by angle a = quat (0, sin(a/2), 0, cos(a/2)). The renderer
+    composes the matrices on device (update_transforms_trs), shrinking the
+    per-frame upload — the animated loop's dominant cost is the
+    bandwidth-bound host->device transfer on the tunneled chip."""
+    a = (anim["phases"] + np.float32(t)) * np.float32(0.5)
+    n = anim["positions"].shape[0]
+    q = np.zeros((n, 4), np.float32)
+    q[:, 1] = np.sin(a)
+    q[:, 3] = np.cos(a)
+    return anim["positions"], q, anim["scales"]
+
+
 def orbit_camera(cam, extent, t):
     """Orbiting camera position + view matrix (moving camera each frame)."""
     ang = 0.02 * t
@@ -404,7 +419,7 @@ def main():
         r.render_frame(view, proj, cam.position).image.block_until_ready()
     if args.animate:
         # Warm the animated path too (shadow re-render every frame).
-        r.update_transforms(animated_models(anim, 0.01))
+        r.update_transforms_trs(*animated_models_trs(anim, 0.01))
         view = orbit_camera(cam, anim["extent"], 0.01)
         r.render_frame(view, proj, cam.position).image.block_until_ready()
 
@@ -418,7 +433,7 @@ def main():
         for _ in range(args.frames):
             if args.animate:
                 ft += 1.0 / 60.0
-                r.update_transforms(animated_models(anim, ft))
+                r.update_transforms_trs(*animated_models_trs(anim, ft))
                 view = orbit_camera(cam, anim["extent"], ft)
             out = r.render_frame(view, proj, cam.position)
         out.image.block_until_ready()
@@ -607,7 +622,7 @@ def main():
                     # re-render: fresh transforms invalidate the shadow
                     # cache exactly as the timing loop did.
                     tft[0] += 1.0 / 60.0
-                    r.update_transforms(animated_models(anim, tft[0]))
+                    r.update_transforms_trs(*animated_models_trs(anim, tft[0]))
                 r.render_frame(
                     view, proj, cam.position
                 ).image.block_until_ready()

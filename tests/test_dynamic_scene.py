@@ -186,7 +186,11 @@ def test_shadow_cache_invalidated_by_transform_update():
     t1[0][:3, 3] += np.float32(1.0)
     r.update_transforms(np.stack(t1))
     img = render(r)
-    assert r._shadow_cache[1] is not map1, "moved models must re-render"
+    # The dynamic frame renders shadows INLINE (one dispatch) and drops the
+    # stale cached map; what must never happen is serving the old map.
+    assert r._shadow_cache is None or r._shadow_cache[1] is not map1, (
+        "moved models must not serve the cached shadow map"
+    )
     np.testing.assert_array_equal(img, fresh_image(t1))
 
 
@@ -292,3 +296,123 @@ def test_update_material_before_first_render_applies():
     register_mat(r2, color=(0.9, 0.1, 0.1, 1.0))
     r2.submit_render_commands(commands(t0))
     np.testing.assert_array_equal(img, render(r2))
+
+
+def test_static_frame_after_dynamic_keeps_updated_transforms():
+    """A DYNAMIC frame (update_transforms -> one-dispatch inline-shadow
+    program) followed by STATIC frames must keep rendering the UPDATED
+    transforms: the deferred item.model writeback means the host mirror —
+    not the stale DrawItems — is authoritative when the static path
+    re-materializes the device model array."""
+    r = make_renderer()
+    register_mat(r)
+    t0 = make_transforms(4, seed=30)
+    r.submit_render_commands(commands(t0))
+    render(r)
+    t1 = [t.copy() for t in t0]
+    for t in t1:
+        t[:3, 3] += np.float32(0.8)
+    r.update_transforms(np.stack(t1))
+    img_dyn = render(r)  # dynamic path (deferred upload)
+    img_static1 = render(r)  # static path re-materializes from the mirror
+    img_static2 = render(r)  # shadow cache now hits
+    want = fresh_image(t1)
+    np.testing.assert_array_equal(img_dyn, want)
+    np.testing.assert_array_equal(img_static1, want)
+    np.testing.assert_array_equal(img_static2, want)
+
+
+def test_sparse_update_then_static_frames_match():
+    """Sparse dict update -> dynamic frame -> static frame parity."""
+    r = make_renderer()
+    register_mat(r)
+    t0 = make_transforms(4, seed=31)
+    r.submit_render_commands(commands(t0))
+    render(r)
+    t1 = [t.copy() for t in t0]
+    t1[2][:3, 3] -= np.float32(1.2)
+    r.update_transforms({2: t1[2]})
+    img_dyn = render(r)
+    img_static = render(r)
+    want = fresh_image(t1)
+    np.testing.assert_array_equal(img_dyn, want)
+    np.testing.assert_array_equal(img_static, want)
+
+
+def _random_trs(n, seed):
+    rng = np.random.default_rng(seed)
+    t = ((rng.random((n, 3), np.float32) - 0.5) * 4.0).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s = (0.5 + rng.random((n, 3), np.float32)).astype(np.float32)
+    return t, q, s
+
+
+def test_update_transforms_trs_matches_matrix_path():
+    """update_transforms_trs (device-composed matrices riding the consts
+    buffer as 10 floats/draw) must be pixel-identical to
+    update_transforms(mat4_trs_batch(...)) — the host/device composes use
+    the same float op sequence."""
+    from ash_tpu.core import maths
+
+    t, q, s = _random_trs(4, seed=40)
+    base = make_transforms(4, seed=41)
+
+    r = make_renderer()
+    register_mat(r)
+    r.submit_render_commands(commands(base))
+    render(r)
+    r.update_transforms_trs(t, q, s)
+    img_trs = render(r)  # dynamic TRS program
+    img_static = render(r)  # static frame re-materializes from the mirror
+
+    r2 = make_renderer()
+    register_mat(r2)
+    r2.submit_render_commands(commands(base))
+    render(r2)
+    r2.update_transforms(maths.mat4_trs_batch(t, q, s))
+    img_mat = render(r2)  # dynamic matrix program
+
+    np.testing.assert_array_equal(img_trs, img_mat)
+    np.testing.assert_array_equal(img_static, img_mat)
+
+
+def test_update_transforms_trs_uniform_scale_and_transitions():
+    """(N,) uniform scales are accepted; a sparse MATRIX update after a TRS
+    update must compose the stale mirror first (ensure-models-host)."""
+    from ash_tpu.core import maths
+
+    t, q, _ = _random_trs(3, seed=42)
+    s1 = np.array([0.5, 1.0, 1.5], np.float32)
+
+    r = make_renderer()
+    register_mat(r)
+    r.submit_render_commands(commands(make_transforms(3, seed=43)))
+    render(r)
+    r.update_transforms_trs(t, q, s1)
+    render(r)
+    # Sparse matrix edit of draw 1 on top of the TRS state.
+    moved = np.eye(4, dtype=np.float32)
+    moved[:3, 3] = [1.0, 0.2, -0.5]
+    r.update_transforms({1: moved})
+    img = render(r)
+
+    full = maths.mat4_trs_batch(t, q, np.repeat(s1[:, None], 3, axis=1))
+    expect = [full[0], moved, full[2]]
+    np.testing.assert_array_equal(img, fresh_image(expect))
+
+
+def test_update_transforms_trs_before_scene_build():
+    """TRS update while the scene is still dirty composes on host and takes
+    the general path (no built scene to ride the consts buffer of)."""
+    from ash_tpu.core import maths
+
+    t, q, s = _random_trs(3, seed=44)
+    r = make_renderer()
+    register_mat(r)
+    r.submit_render_commands(commands(make_transforms(3, seed=45)))
+    r.update_transforms_trs(t, q, s)  # scene not built yet
+    img = render(r)
+    np.testing.assert_array_equal(
+        img, fresh_image(list(maths.mat4_trs_batch(t, q, s)))
+    )
