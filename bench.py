@@ -452,6 +452,33 @@ def main():
         print(f"pipeline race: winner={dec['winner']} ms={ms}",
               file=sys.stderr)
 
+    # Animated runs: time a STATIC control loop in the SAME process. The
+    # binding guard for the animated path is the animated:static ratio —
+    # absolute wall floors cannot bind under the tunnel's 2-4x day-to-day
+    # dispatch swings, but both loops share this process's conditions, so
+    # the ratio is tunnel-immune (the same idea as the device-time ratio
+    # guard, without the hang-prone profiler session; zero readbacks).
+    anim_vs_static = None
+    if args.animate:
+        # First static frame re-renders + re-caches the shadow map.
+        r.render_frame(view, proj, cam.position).image.block_until_ready()
+        static_dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.frames):
+                out = r.render_frame(view, proj, cam.position)
+            out.image.block_until_ready()
+            static_dts.append((time.perf_counter() - t0) / args.frames)
+        static_dt = min(static_dts)
+        anim_vs_static = static_dt / dt
+        print(
+            f"static control (same process): {static_dt*1000:.2f} ms "
+            f"({1/static_dt:.1f} fps); animated = "
+            f"{dt/static_dt:.2f}x static (ratio guard value "
+            f"{anim_vs_static:.3f})",
+            file=sys.stderr,
+        )
+
     # REAL shadow/main attribution from the split pipeline (no loop-harness
     # bias): the steady loop above is main-only when the shadow cache hits
     # (static scene) or shadow+main when it can't (animated). Timing a loop
@@ -582,18 +609,22 @@ def main():
         if ok:
             print(f"saved {args.save}", file=sys.stderr)
 
+    # The DEVICE-TIME guard (VERDICT r3 weak #2) needs a trace too: guard
+    # runs measure frame-device-time / calibration-device-time in one
+    # profiler session — a dimensionless ratio immune to tunnel dispatch
+    # noise (2-4x wall swings) AND to the tunnel trace clock's bogus
+    # absolute scale (both programs share the clock, so it cancels).
+    # An EXPLICIT --no-trace opts out of the ratio as well (the profiler
+    # session is the most hang-prone tunnel operation, up to 300 s of
+    # watchdog; the guard prints SKIPPED) — the animated config has the
+    # trace-free animated:static ratio as its binding check instead.
+    want_ratio = args.guard and not args.cpu and args.trace is not False
     if args.trace is None:
         # Default: trace the inline plain-headline config only (the extras
         # each pay ~75 s of tunnel trace collection if forced with --trace).
         args.trace = not (
             args.cpu or args.small or args.rich or args.animate or args.mega
         )
-    # The DEVICE-TIME guard (VERDICT r3 weak #2) needs a trace too: guard
-    # runs measure frame-device-time / calibration-device-time in one
-    # profiler session — a dimensionless ratio immune to tunnel dispatch
-    # noise (2-4x wall swings) AND to the tunnel trace clock's bogus
-    # absolute scale (both programs share the clock, so it cancels).
-    want_ratio = args.guard and not args.cpu
     device_ratio = None
     if args.trace or want_ratio:
         # TRUE per-pass attribution (VERDICT r2 item 4): run the production
@@ -698,6 +729,8 @@ def main():
         record["overflow_shadow"] = overflow_counters[2]
     if device_ratio is not None:
         record["device_ratio"] = round(device_ratio, 3)
+    if anim_vs_static is not None:
+        record["animated_vs_static"] = round(anim_vs_static, 3)
     for ln in held_metric_lines:
         print(ln)
     print(json.dumps(record))
@@ -754,6 +787,26 @@ def main():
                 f"(budget {ratio_key}={max_ratio})",
                 file=sys.stderr,
             )
+        # Animated:static same-process ratio — the BINDING animated guard
+        # (tunnel-immune like the device ratio, but needs no profiler
+        # session, so it cannot be skipped by a readback hang).
+        if args.animate and anim_vs_static is not None:
+            min_avs = budget.get("min_animated_vs_static")
+            if min_avs is not None:
+                if anim_vs_static < min_avs:
+                    print(
+                        f"PERF GUARD FAILED: animated:static ratio "
+                        f"{anim_vs_static:.3f} < budget {min_avs} — the "
+                        "dynamic-frame path regressed relative to the "
+                        "static path in the same process",
+                        file=sys.stderr,
+                    )
+                    _exit_bench(1)
+                print(
+                    f"animated-ratio guard OK: {anim_vs_static:.3f} >= "
+                    f"{min_avs}",
+                    file=sys.stderr,
+                )
         if extras_guard_failed:
             print("PERF GUARD FAILED in a suite subprocess (see above)",
                   file=sys.stderr)
