@@ -39,8 +39,10 @@ from ..render.frame import (
     FrameConfig,
     FrameOutputs,
     FrameUniforms,
+    band_render_rows,
     band_rows,
     finalize_frame,
+    internal_render_size,
     render_band,
 )
 from ..render.scene import SceneBuffers
@@ -58,7 +60,16 @@ def make_sharded_frame(config: FrameConfig, mesh: Mesh, axis: str = "sp"):
     n = mesh.shape[axis]
     cfg = config
     band = BandSpec(axis=axis, n=n)
-    bhp = band_rows(cfg, n)  # presentation rows per device
+    if cfg.render_scale != 1.0:
+        # TAAU: bands split the INTERNAL rows; finalize_frame upsamples
+        # the assembled (sharded) image to presentation resolution.
+        per_dev = band_render_rows(cfg, n)
+        total_rows = internal_render_size(
+            cfg.width, cfg.height, cfg.render_scale
+        )[1]
+    else:
+        per_dev = band_rows(cfg, n)  # presentation rows per device
+        total_rows = cfg.height
 
     def device_fn(scene, uni, pool, lights, prev_depth, ibl):
         return render_band(
@@ -92,13 +103,13 @@ def make_sharded_frame(config: FrameConfig, mesh: Mesh, axis: str = "sp"):
                 check_vma=False,
             )
             bo = sharded(scene, uni, pool, lights, prev_depth, ibl)
-            if n * bhp != cfg.height:  # crop the band padding
+            if n * per_dev != total_rows:  # crop the band padding
                 bo = bo._replace(
-                    color=bo.color[: cfg.height],
-                    depth=bo.depth[: cfg.height],
+                    color=bo.color[:total_rows],
+                    depth=bo.depth[:total_rows],
                     velocity=(
                         None if bo.velocity is None
-                        else bo.velocity[: cfg.height]
+                        else bo.velocity[:total_rows]
                     ),
                 )
             return finalize_frame(cfg, bo, post, taa_params, history)

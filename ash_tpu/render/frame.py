@@ -166,7 +166,8 @@ class FrameConfig:
     # the presentation resolution (e.g. 0.75 -> 56% of the pixels), then
     # bilinear-upsample and let the jittered TAA history accumulate detail
     # back to full res. Requires post_enabled + taa_enabled; exclusive with
-    # SSAA; single-chip only (band mode asserts scale == 1).
+    # SSAA. Works under shard_map too: bands split the internal rows and
+    # the upsample runs on the assembled sharded image (band_render_rows).
     render_scale: float = 1.0
     # Supersampling factors (MSAA equivalent: ordered-grid SSAA + box
     # resolve; reference msaa_targets.rs). Per-axis so sample counts match
@@ -521,6 +522,16 @@ def band_rows(cfg: "FrameConfig", n: int) -> int:
     return per
 
 
+def band_render_rows(cfg: "FrameConfig", n: int) -> int:
+    """Internal-resolution rows per device band when render_scale != 1
+    (TAAU): devices split the scaled raster rows, padded up to divide and
+    to align with the raster/light tile grid (ssaa is exclusive here, so
+    the band unit IS the render unit)."""
+    _, rh = internal_render_size(cfg.width, cfg.height, cfg.render_scale)
+    u = _band_unit(cfg)
+    return -(-rh // (n * u)) * u
+
+
 def _concat_vis_layers(a, b):
     """Append b's peel layers after a's (b must be strictly deeper —
     produced with depth_floor at a's deepest layer)."""
@@ -582,8 +593,6 @@ def render_band(
     if scale != 1.0:
         if sx != 1 or sy != 1:
             raise ValueError("render_scale is exclusive with SSAA")
-        if band is not None:
-            raise ValueError("render_scale requires single-chip mode")
         if not (0.25 <= scale <= 1.0):
             raise ValueError(f"render_scale {scale} outside [0.25, 1]")
         # Internal (TAAU) resolution, even-rounded for clean tiling.
@@ -596,8 +605,15 @@ def render_band(
         bhr = rh  # render rows in the band
         bhp = cfg.height if scale == 1.0 else rh  # presentation rows
     else:
-        bhp = band_rows(cfg, band.n)
-        bhr = bhp * sy
+        if scale == 1.0:
+            bhp = band_rows(cfg, band.n)
+            bhr = bhp * sy
+        else:
+            # TAAU band mode: devices split the INTERNAL rows (padded to
+            # divide); the bilinear upsample to presentation resolution
+            # runs in finalize_frame OUTSIDE the shard_map, where XLA's
+            # SPMD partitioner inserts the resize halo exchanges.
+            bhr = bhp = band_render_rows(cfg, band.n)
         idx = jax.lax.axis_index(band.axis)
         y0r = idx * bhr
 

@@ -277,3 +277,45 @@ def test_sharded_edge_msaa_matches_single(example):
     got = frame(scene, uni)
     assert_images_match(got.image, single.image)
     assert int(got.msaa_edge_overflow) == int(single.msaa_edge_overflow) == 0
+
+
+@pytest.mark.parametrize("scale", [0.5, 0.3])
+def test_sharded_render_scale_taau_matches_single(rich_example, scale):
+    """TAAU (render_scale) under shard_map: bands split the INTERNAL rows
+    (scale=0.3 exercises band padding: 38 internal rows pad to 8 x 8), the
+    bilinear upsample + TAA blend run on the assembled sharded image, and
+    both the presented frame and the full-res history must match the
+    single-chip program."""
+    scene, uni, extras = rich_example
+    cfg = _config(
+        shadows=False, post_enabled=True, taa_enabled=True,
+        bloom_enabled=False, reinhard=False, render_scale=scale,
+    )
+    uni = jax.tree.map(jnp.asarray, uni)
+    uni = uni._replace(
+        prev_view_proj=uni.view_proj
+        @ jnp.eye(4).at[0, 3].set(0.05).astype(jnp.float32),
+        prev_models=uni.models,
+    )
+    from ash_tpu.ops.taa import TaaParams
+
+    taa = TaaParams(
+        blend_factor=jnp.float32(0.9),
+        color_clamp=jnp.float32(1.0),
+        velocity_rejection=jnp.float32(1.0),
+        jitter=jnp.zeros(2, jnp.float32),
+        prev_jitter=jnp.zeros(2, jnp.float32),
+    )
+    history = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    post = PostParams.default()
+
+    single = render_frame_program(
+        cfg, scene, uni, None, post=post, taa_params=taa, history=history
+    )
+    frame = make_sharded_frame(cfg, render_mesh(8))
+    sharded = frame(scene, uni, post=post, taa_params=taa, history=history)
+    assert sharded.image.shape == (cfg.height, cfg.width, 4)
+    assert_images_match(sharded.image, single.image)
+    np.testing.assert_allclose(
+        np.asarray(sharded.history), np.asarray(single.history), atol=1e-6
+    )
