@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -456,21 +458,71 @@ def _jit_opts(effort):
     return {"compiler_options": {"exec_time_optimization_effort": effort}}
 
 
+# Live frame programs, globally bounded. Each compiled frame program owns
+# real process resources beyond host RAM: on the CPU backend every XLA
+# executable holds its LLVM JIT code as separate anonymous mappings
+# (~300 per post-enabled 1080p-class program), and Linux caps a process
+# at vm.max_map_count (default 65530) mappings. With the previous
+# unbounded per-function lru_caches a long-lived process that touches
+# many FrameConfigs — a test suite, a multi-tenant render service, a
+# resolution sweep — accumulated executables until mmap failed and XLA
+# SEGFAULTED or deadlocked mid-compile (observed deterministically at
+# ~65k mappings, test #310/343 of the suite). The registry keeps the
+# most-recently-used programs alive and drops the rest; a dropped
+# program that is re-requested simply retraces and recompiles (slow
+# frame, correct image). A production loop uses ~10-15 programs per
+# config, so the default cap of 64 holds ~4 concurrent configs.
+_MAX_LIVE_PROGRAMS = max(int(os.environ.get(
+    "ASH_MAX_LIVE_PROGRAMS", "64")), 8)
+_live_programs: dict = {}  # insertion-ordered: (qualname, cfg, effort) -> jit
+_live_programs_lock = threading.Lock()
+
+
+def clear_program_caches() -> None:
+    """Drop every cached frame program (and their executables/mappings).
+
+    Renderers holding a jit reference keep it alive; the next
+    compiled_*() fetch rebuilds. Used by tests between modules and
+    available to apps that cycle through many configs."""
+    with _live_programs_lock:
+        _live_programs.clear()
+    _merge_jit.cache_clear()
+    _shadow_merge_jit.cache_clear()
+
+
 def _effort_cached(factory):
-    """lru_cache over (config, effort) with the one-arg call normalized:
-    `f(config)` and `f(config, None)` MUST return the same jit object —
-    functools.lru_cache keys the raw call shape, so without this a
-    default-arg call and an explicit-None call would create two separate
-    jits of the same program (and the second one would re-trace and
-    recompile synchronously in the frame loop)."""
-    cached = functools.lru_cache(maxsize=256)(factory)
+    """Bounded cache over (config, effort) with the one-arg call
+    normalized: `f(config)` and `f(config, None)` MUST return the same
+    jit object — otherwise a default-arg call and an explicit-None call
+    would create two separate jits of the same program (and the second
+    one would re-trace and recompile synchronously in the frame loop).
+    Entries live in the shared _live_programs LRU (see above)."""
+    name = factory.__qualname__
 
     @functools.wraps(factory)
     def wrapper(config, effort=None):
-        return cached(config, effort)
+        key = (name, config, effort)
+        with _live_programs_lock:
+            if key in _live_programs:
+                val = _live_programs.pop(key)
+                _live_programs[key] = val  # re-insert = most recent
+                return val
+        val = factory(config, effort)  # trace-free (jit() is lazy)
+        with _live_programs_lock:
+            if key in _live_programs:  # racing fetch built it first
+                val = _live_programs.pop(key)
+            _live_programs[key] = val
+            while len(_live_programs) > _MAX_LIVE_PROGRAMS:
+                # dict preserves insertion order; first key = LRU
+                _live_programs.pop(next(iter(_live_programs)))
+        return val
 
-    wrapper.cache_clear = cached.cache_clear
-    wrapper.cache_info = cached.cache_info
+    def cache_clear():
+        with _live_programs_lock:
+            for k in [k for k in _live_programs if k[0] == name]:
+                _live_programs.pop(k)
+
+    wrapper.cache_clear = cache_clear
     return wrapper
 
 

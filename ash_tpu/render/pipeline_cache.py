@@ -41,6 +41,26 @@ class PipelineCache:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    @staticmethod
+    def disable_persistence() -> None:
+        """Fully stop persistent-cache use for this process.
+
+        Setting jax_compilation_cache_dir back to None is NOT enough:
+        jax's compilation cache is a module global (_cache/_cache_used)
+        that stays live once initialized, so every later compile keeps
+        serializing executables into the old directory. That serialize
+        (`executable.serialize()` inside put_executable_and_time) has
+        been observed to SIGSEGV when it races concurrent
+        backend_compile_and_load calls in other threads on the CPU
+        backend — reset the module state as well."""
+        import jax
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc,
+        )
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()
+
     def get_or_build(self, key: Hashable, build: Callable[[], object]):
         hit = key in self._cache
         if hit:

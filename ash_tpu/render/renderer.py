@@ -157,6 +157,30 @@ def _join_bg_compiles():
 atexit.register(_join_bg_compiles)
 
 
+_cpu_compile_lock = threading.Lock()
+
+
+def _locked_compile(lowered):
+    """`lowered.compile()`, serialized across our background threads on
+    the CPU backend — defense-in-depth for XLA:CPU compiles under
+    resource pressure. The primary failure this area saw (deterministic
+    SIGSEGV/deadlock inside backend_compile_and_load at ~65k process
+    mappings) was vm.max_map_count exhaustion from unbounded live
+    executables and is fixed at the source by frame.py's bounded
+    _live_programs registry; near that limit, failures surfaced in
+    WHICHEVER thread was compiling, concurrent or not. Serializing CPU
+    compiles keeps any residual client-side compiler race out of the
+    picture and costs nothing on the single-core TPU-VM hosts this
+    targets; TPU/axon compiles stay fully parallel (compilation happens
+    in the PJRT compile service, no shared client-side LLVM state)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        with _cpu_compile_lock:
+            return lowered.compile()
+    return lowered.compile()
+
+
 def _compile_async(lowered, name, threads, errs):
     """Start `lowered.compile()` in its own thread (XLA releases the GIL,
     so compiles genuinely overlap) and register it in `threads`; errors
@@ -167,7 +191,7 @@ def _compile_async(lowered, name, threads, errs):
     def run():
         try:
             t0 = time.perf_counter()
-            lowered.compile()
+            _locked_compile(lowered)
             if log:
                 print(f"[compile] {name} {time.perf_counter()-t0:.2f}s",
                       file=sys.stderr)
@@ -2198,7 +2222,7 @@ class Renderer:
 
                 def compile_one(low):
                     try:
-                        low.compile()
+                        _locked_compile(low)
                     except Exception as e:
                         errs.append(e)
 

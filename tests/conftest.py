@@ -28,3 +28,29 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_programs():
+    """Release compiled frame programs between test modules.
+
+    Every XLA:CPU executable holds its JIT code as anonymous mappings
+    (~300 for a post-enabled program); Linux caps a process at
+    vm.max_map_count (65530) mappings, and the full suite compiles
+    enough distinct FrameConfig programs to exhaust it — XLA then
+    SEGFAULTs (or deadlocks) mid-compile, observed deterministically
+    around test #310. The frame-program registry is LRU-bounded now,
+    but tests should ALSO not rely on cross-module cache state, so drop
+    everything at each module boundary and let mappings unmap."""
+    yield
+    import gc
+
+    from ash_tpu.render import frame as _frame
+
+    # Background tiered compiles may still hold program references;
+    # they finish on their own — clearing here only drops the registry.
+    # (Deliberately NOT jax.clear_caches(): it freed <1% extra in
+    # measurement and mutates global jit state that in-flight background
+    # compile threads from the previous module may still be using.)
+    _frame.clear_program_caches()
+    gc.collect()

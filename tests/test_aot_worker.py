@@ -19,14 +19,19 @@ from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
 
 @pytest.fixture
 def cache_dir(tmp_path):
-    import jax
+    from ash_tpu.render.pipeline_cache import PipelineCache
 
     d = str(tmp_path / "jitcache")
     os.makedirs(d, exist_ok=True)
     yield d
-    # enable_persistence set process-global config: restore so later tests
-    # don't persist into a deleted tmp dir.
-    jax.config.update("jax_compilation_cache_dir", None)
+    # enable_persistence set process-global state: restore so later tests
+    # don't persist into the stale tmp dir. Resetting only the config var
+    # is insufficient — jax keeps a module-global cache object alive, so
+    # every later compile in the suite still serialized executables into
+    # this dir, and executable.serialize() racing concurrent compiles in
+    # the tiered background threads SIGSEGVed the full suite (observed
+    # r4: crash in put_executable_and_time at test ~313/343).
+    PipelineCache.disable_persistence()
 
 
 def test_aot_worker_subprocess_populates_cache(cache_dir, monkeypatch,

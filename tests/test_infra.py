@@ -158,6 +158,34 @@ def test_thread_safe_pool_hit_miss_and_guard():
 # ---------------------------------------------------------- caches / graph
 
 
+def test_live_program_registry_bounded(monkeypatch):
+    """The frame-program registry is a global LRU: compiled programs own
+    LLVM JIT code mappings on CPU (vm.max_map_count is a hard per-process
+    cap), so live jits must be bounded and clearable. Fetches are lazy
+    (jax.jit traces on first call), so this exercises the registry
+    without compiling anything."""
+    import dataclasses as dc
+
+    from ash_tpu.render import frame as fr
+
+    monkeypatch.setattr(fr, "_MAX_LIVE_PROGRAMS", 8)
+    base = fr.FrameConfig(width=32, height=32)
+    cfgs = [dc.replace(base, width=32 + 8 * i) for i in range(12)]
+    jits = [fr.compiled_frame(c) for c in cfgs]
+    with fr._live_programs_lock:
+        n_frame = sum(1 for k in fr._live_programs
+                      if k[0].startswith("compiled_frame"))
+    assert n_frame <= 8
+    # Most recent config: same object back (no retrace in the frame loop).
+    assert fr.compiled_frame(cfgs[-1]) is jits[-1]
+    # Oldest config was evicted: fetch rebuilds (a fresh wrapper).
+    assert fr.compiled_frame(cfgs[0]) is not jits[0]
+    # clear_program_caches drops everything.
+    fr.clear_program_caches()
+    with fr._live_programs_lock:
+        assert not fr._live_programs
+
+
 def test_pipeline_cache_hit_miss_merge():
     c = PipelineCache()
     v1 = c.get_or_build("a", lambda: 1)
