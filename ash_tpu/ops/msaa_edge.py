@@ -45,8 +45,15 @@ from .compute_utils import exclusive_prefix_sum
 def edge_capacity(n_pixels: int, fraction: float, samples: int) -> int:
     """Static worklist capacity: `fraction` of the band's pixels, rounded
     up so capacity * samples is a multiple of 128 (full-lane reshape)."""
+    import math
+
     cap = max(int(n_pixels * fraction), 1)
-    unit = max(128 // max(samples, 1), 1)
+    # cap*samples % 128 == 0 requires cap % (128/gcd(samples,128)) == 0 —
+    # NOT cap % (128//samples): for sample counts that don't divide 128
+    # (e.g. ssaa 3x1), floor(128/s) rounding breaks the lane-aligned
+    # reshape contract asserted in build_worklist.
+    s = max(samples, 1)
+    unit = 128 // math.gcd(s, 128)
     cap = -(-cap // unit) * unit
     return min(cap, n_pixels + (-n_pixels) % unit)
 

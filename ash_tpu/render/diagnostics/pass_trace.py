@@ -155,9 +155,10 @@ def device_frame_ratio(
 ):
     """Measure frame-device-time / calibration-device-time in ONE trace
     session. Returns (ratio, frame_ms_trace_units, calib_ms_trace_units,
-    profiles) or None if the trace lacked either side. The frame side
-    sums every non-calibration module (split pipelines run shadow + band
-    + finalize as separate executables)."""
+    profiles); ratio is None if the trace lacked either side (profiles
+    are still returned so callers can report per-pass rows). The frame
+    side sums every non-calibration module (split pipelines run shadow +
+    band + finalize as separate executables)."""
     fn, x = calib if calib is not None else calibration_program()
     fn(x).block_until_ready()  # compile + warm outside the trace
 
@@ -174,9 +175,10 @@ def device_frame_ratio(
         for p in profs
         if "ash_guard_calib" not in p.module_name
     )
-    if calib_ms <= 0 or frame_ms <= 0:
-        return None
-    return frame_ms / calib_ms, frame_ms, calib_ms, profs
+    ratio = (
+        frame_ms / calib_ms if calib_ms > 0 and frame_ms > 0 else None
+    )
+    return ratio, frame_ms, calib_ms, profs
 
 
 def profiles_from_xplane(path: str) -> List[PassProfile]:

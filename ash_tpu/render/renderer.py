@@ -76,7 +76,8 @@ _bg_compile_threads: List = []
 
 
 _exit_code_seen = {"value": 0}
-_prev_excepthook = sys.excepthook
+_prev_excepthook = None
+_prev_sys_exit = None
 
 
 def _track_crash_exit(tp, val, tb):
@@ -84,16 +85,6 @@ def _track_crash_exit(tp, val, tb):
     # report success to CI.
     _exit_code_seen["value"] = 1
     _prev_excepthook(tp, val, tb)
-
-
-sys.excepthook = _track_crash_exit
-
-# SystemExit(n) (pytest sessions, console entry points) never reaches
-# sys.excepthook, so a wedged-compile hard exit would replace a failing
-# run's code with 0 (ADVICE r3). Wrapping sys.exit records the requested
-# code for _join_bg_compiles; a bare `raise SystemExit(n)` still bypasses
-# this, which is the accepted residue.
-_prev_sys_exit = sys.exit
 
 
 def _track_sys_exit(code=None):
@@ -110,7 +101,26 @@ def _track_sys_exit(code=None):
     _prev_sys_exit(code)
 
 
-sys.exit = _track_sys_exit
+def _install_exit_tracking():
+    """Install the sys.excepthook / sys.exit wrappers that let the wedged-
+    compile hard-exit path (_join_bg_compiles) report a faithful exit
+    code. Called when the FIRST background compile thread starts — not at
+    import — so merely importing the library never patches process-global
+    exit machinery (review r4): only processes that can actually reach the
+    os._exit fallback carry the wrappers.
+
+    SystemExit(n) (pytest sessions, console entry points) never reaches
+    sys.excepthook, so a wedged-compile hard exit would replace a failing
+    run's code with 0 (ADVICE r3). Wrapping sys.exit records the requested
+    code; a bare `raise SystemExit(n)` still bypasses this, which is the
+    accepted residue."""
+    global _prev_excepthook, _prev_sys_exit
+    if _prev_sys_exit is not None:
+        return  # already installed
+    _prev_excepthook = sys.excepthook
+    sys.excepthook = _track_crash_exit
+    _prev_sys_exit = sys.exit
+    sys.exit = _track_sys_exit
 
 
 # Set by the atexit join below: a background trace racing interpreter
@@ -1032,7 +1042,12 @@ class Renderer:
         cascades = 1
         shadow_res = c.shadow_resolution
         csm_blend = 0.0
-        if c.csm is not None:
+        if c.csm is not None and c.shadows_enabled:
+            # Gate on shadows_enabled: render_frame only populates the
+            # cascade uniforms under the same condition, and the packed
+            # consts layout (consts_layout) sizes cascade fields from
+            # shadow_cascades — csm set + shadows off must behave exactly
+            # like no csm (it did before the packed-UBO change).
             cascades = c.csm.cascade_count
             shadow_res = c.csm.resolution
             if c.csm.blend_cascades:
@@ -2266,6 +2281,7 @@ class Renderer:
                     except Exception:
                         ent["state"] = "failed"
 
+        _install_exit_tracking()
         t = threading.Thread(
             target=run, name="ash-full-compile", daemon=True
         )

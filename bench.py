@@ -539,6 +539,7 @@ def main():
     # attempt). The values also ride the metric JSON line below so the
     # driver artifact carries them even under stderr truncation.
     overflow_counters = None
+    renderer_wedged = False  # a timed-out re-dispatch thread owns `r`
     read_out = out
     for attempt in range(3):
         def _read_counters(o=read_out):
@@ -569,6 +570,12 @@ def main():
             _redispatch, 30, f"overflow re-dispatch (attempt {attempt + 1})"
         )
         if not ok2:
+            # The abandoned watchdog thread is still blocked INSIDE
+            # r.render_frame: if the wedged transfer ever unblocks it
+            # would mutate renderer state (_taa_history, frame counters)
+            # concurrently with any later use. Mark the renderer unsafe
+            # so the trace phase below doesn't race it (review r4).
+            renderer_wedged = True
             break
         read_out = fresh
     if overflow_counters is not None:
@@ -626,7 +633,13 @@ def main():
             args.cpu or args.small or args.rich or args.animate or args.mega
         )
     device_ratio = None
-    if args.trace or want_ratio:
+    if renderer_wedged and (args.trace or want_ratio):
+        print(
+            "pass trace: skipped — a timed-out overflow re-dispatch thread "
+            "still owns the renderer (wedged tunnel stream)",
+            file=sys.stderr,
+        )
+    elif args.trace or want_ratio:
         # TRUE per-pass attribution (VERDICT r2 item 4): run the production
         # executable under jax.profiler.trace and bucket the chip's own
         # per-op timeline by the pass_* named scopes (frame.py). Fractions
@@ -636,18 +649,11 @@ def main():
         # AND the counter readbacks — because the profiler session is the
         # most hang-prone tunnel operation; watchdogged like the readbacks.
         def _trace_all():
-            from ash_tpu.render.diagnostics.pass_trace import (
-                calibration_program,
-                profile_passes,
-            )
-
-            calib = calibration_program() if want_ratio else None
-            if calib is not None:
-                calib[0](calib[1]).block_until_ready()
+            from ash_tpu.render.diagnostics import pass_trace
 
             tft = [ft]
 
-            def _run():
+            def _frame():
                 if args.animate:
                     # The animated ratio must include the per-frame shadow
                     # re-render: fresh transforms invalidate the shadow
@@ -657,24 +663,17 @@ def main():
                 r.render_frame(
                     view, proj, cam.position
                 ).image.block_until_ready()
-                if calib is not None:
-                    calib[0](calib[1]).block_until_ready()
 
             iters = 12
-            profs = profile_passes(_run, iters=iters, warmup=2)
-            calib_ms = sum(
-                p.total_ms for p in profs
-                if "ash_guard_calib" in p.module_name
-            )
-            frame_ms = sum(
-                p.total_ms * (p.executions / iters)
-                for p in profs
-                if "ash_guard_calib" not in p.module_name
-            )
-            ratio = (
-                frame_ms / calib_ms if calib_ms > 0 and frame_ms > 0
-                else None
-            )
+            if want_ratio:
+                # Ratio math (calib warm-up, name filter, executions/iters
+                # weighting) lives in ONE place: pass_trace.device_frame_ratio.
+                ratio, _, _, profs = pass_trace.device_frame_ratio(
+                    _frame, iters=iters, warmup=2
+                )
+            else:
+                profs = pass_trace.profile_passes(_frame, iters=iters, warmup=2)
+                ratio = None
             frame_profs = [
                 p for p in profs if "ash_guard_calib" not in p.module_name
             ]

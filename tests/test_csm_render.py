@@ -107,3 +107,29 @@ def test_csm_cascade_blending_smooths_boundary():
     # moves toward the next cascade's result.
     np.testing.assert_allclose(hard[0], soft[0], atol=1e-6)
     assert hard.shape == soft.shape == (3,)
+
+
+def test_csm_with_shadows_disabled_renders():
+    """csm set + shadows_enabled=False must behave exactly like no csm.
+
+    Regression (review r4): the packed frame-UBO layout sized cascade
+    fields from FrameConfig.shadow_cascades, but render_frame only
+    populates cascade uniforms when shadows are enabled — the mismatch
+    made pack_frame_consts crash on uni.cascade_matrices[None...]."""
+    surface = HeadlessSurface(64, 48)
+    r = Renderer(
+        surface,
+        RendererConfig(
+            tile_h=8, tile_w=64, max_tris_per_tile=32,
+            csm=CsmConfig(cascade_count=3, resolution=64),
+            shadows_enabled=False,
+        ),
+    )
+    _scene(r)
+    cam = Camera.new([6, 5, 10], [0, 0, -5], 64 / 48)
+    out = r.render_frame(
+        cam.view_matrix(), cam.projection_matrix(), cam.position
+    )
+    assert out.shadow_map is None
+    img = surface.read_back()
+    assert (img[..., :3].sum(-1) > 0).mean() > 0.3

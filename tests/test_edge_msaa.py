@@ -17,12 +17,17 @@ from ash_tpu.ops import msaa_edge
 
 
 def test_edge_capacity_lane_alignment():
-    for s in (2, 4, 8):
+    # Includes sample counts that do NOT divide 128 (3 = ssaa 3x1, 6 =
+    # 3x2, 12 = 4x3): the rounding unit is 128/gcd(s,128), not 128//s
+    # (review r4 — floor rounding broke the build_worklist reshape
+    # contract for those).
+    for s in (2, 3, 4, 6, 8, 12):
         cap = msaa_edge.edge_capacity(1000, 0.125, s)
         assert cap * s % 128 == 0
         assert cap >= 1000 * 0.125
     # Tiny bands still get a non-zero aligned worklist.
     assert msaa_edge.edge_capacity(4, 0.125, 4) * 4 % 128 == 0
+    assert msaa_edge.edge_capacity(4, 0.125, 3) * 3 % 128 == 0
 
 
 def test_classify_uniform_and_edges():
