@@ -247,6 +247,53 @@ def run_subprocess_bench(flag, frames, guard=False):
         return False, lines
 
 
+def run_overflow_probe(args):
+    """Overflow evidence that cannot be eaten by the post-timing tunnel
+    wedge (VERDICT r3 weak #3 / r4 follow-up): a fresh subprocess renders
+    ONE frame of the same scene config and reads the counters immediately —
+    early in a process's life device->host transfers are reliable; it is
+    only after long dispatch-pipelined timing loops that the tunnel
+    sporadically hangs every transfer forever. MUST run BEFORE this process
+    initializes its own backend: a second live client contends the tunnel
+    ~10x (measured: a trivial matmul takes 168 s in a child while the
+    parent holds the chip, vs seconds exclusive). Returns
+    (covered, main_overflow, shadow_overflow) or None."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--overflow-probe", "--no-extras", "--frames", "1"]
+    for flag in ("rich", "animate", "mega", "bf16"):
+        if getattr(args, flag):
+            cmd.append("--" + flag)
+    if args.objects != 1000:
+        cmd += ["--objects", str(args.objects)]
+    if args.lights:
+        cmd += ["--lights", str(args.lights)]
+    if args.shadow_tile is not None:
+        cmd += ["--shadow-tile", str(args.shadow_tile)]
+    if args.shadow_cap is not None:
+        cmd += ["--shadow-cap", str(args.shadow_cap)]
+    if args.pipeline_mode is not None:
+        cmd += ["--pipeline-mode", args.pipeline_mode]
+    print("--- overflow probe (fresh process, pre-timing): "
+          + " ".join(cmd[2:]), file=sys.stderr)
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+        for ln in p.stdout.splitlines():
+            if ln.startswith('{"overflow_probe"'):
+                d = json.loads(ln)["overflow_probe"]
+                print(
+                    f"overflow probe: covered {d['covered']} px, "
+                    f"main={d['main']} shadow={d['shadow']}",
+                    file=sys.stderr,
+                )
+                return d["covered"], d["main"], d["shadow"]
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        print("overflow probe: no result (rc=%s) %s"
+              % (p.returncode, " | ".join(tail)), file=sys.stderr)
+    except Exception as e:
+        print(f"overflow probe error: {e}", file=sys.stderr)
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -303,10 +350,23 @@ def main():
         "(default: on for the plain TPU config; ~75 s of trace collection "
         "on the tunnel)",
     )
+    ap.add_argument(
+        "--overflow-probe", action="store_true",
+        help="internal: render one frame of this config and read the "
+        "binning-overflow counters IMMEDIATELY (early in a fresh process "
+        "device->host transfers are reliable; post-timing they sporadically "
+        "wedge forever on the tunnel). Prints one overflow_probe JSON line.",
+    )
     args = ap.parse_args()
     if args.mega and (args.animate or args.rich):
         ap.error("--mega is its own scene; it cannot combine with "
                  "--animate/--rich")
+    if args.animate and not args.overflow_probe and args.frames < 40:
+        # The binding animated:static ratio needs enough frames per loop to
+        # average over tunnel dispatch jitter: at 10 frames the measured
+        # ratio swings 0.37-0.77 across runs (guard floor 0.5); at 40+ it
+        # is stable. Costs < 1 s of extra timing.
+        args.frames = 40
 
     import jax
 
@@ -324,7 +384,7 @@ def main():
     )
     suite = not (
         args.cpu or args.small or args.rich or args.animate or args.mega
-        or args.no_extras or args.save
+        or args.no_extras or args.save or args.overflow_probe
         # Scene/config overrides are NOT forwarded to the extras'
         # subprocesses; running the suite would print four JSON lines
         # measuring different configurations as if they were one.
@@ -349,6 +409,13 @@ def main():
         width, height, n_obj = 160, 120, 27
     else:
         width, height, n_obj = 1920, 1080, args.objects
+
+    # Eager out-of-process overflow probe: must happen BEFORE jax.devices()
+    # (i.e. before this process attaches to the chip) so the probe gets
+    # exclusive, contention-free access. See run_overflow_probe.
+    probe_counters = None
+    if not (args.cpu or args.small or args.overflow_probe):
+        probe_counters = run_overflow_probe(args)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -401,6 +468,28 @@ def main():
     out.image.block_until_ready()
     compile_s = time.perf_counter() - t0
     print(f"first frame (compile): {compile_s:.2f}s", file=sys.stderr)
+    if args.overflow_probe:
+        # Probe mode: read the counters NOW, while transfers still work,
+        # and exit. For the animated config, advance one animation step
+        # first so the counters reflect the scene the timed run renders.
+        if args.animate:
+            r.update_transforms_trs(*animated_models_trs(anim, 1.0 / 60.0))
+            out = r.render_frame(
+                orbit_camera(cam, anim["extent"], 1.0 / 60.0),
+                proj, cam.position,
+            )
+            out.image.block_until_ready()
+
+        def _probe_read(o=out):
+            s = int(o.shadow_overflow) if o.shadow_overflow is not None else 0
+            return int(o.covered_pixels), int(o.binning_overflow), s
+
+        ok, c = with_timeout(_probe_read, 120, "probe overflow readback")
+        if not ok:
+            _exit_bench(3)
+        print(json.dumps({"overflow_probe": {
+            "covered": c[0], "main": c[1], "shadow": c[2]}}))
+        _exit_bench(0)
     for _ in range(2):
         r.render_frame(view, proj, cam.position).image.block_until_ready()
     # Tiered compilation: let the background fused-program compile finish
@@ -539,9 +628,15 @@ def main():
     # attempt). The values also ride the metric JSON line below so the
     # driver artifact carries them even under stderr truncation.
     overflow_counters = None
+    overflow_source = "live"
     renderer_wedged = False  # a timed-out re-dispatch thread owns `r`
     read_out = out
-    for attempt in range(3):
+    # With pre-timing probe values in hand one live attempt suffices (the
+    # probe is the durable evidence; live values merely upgrade it to the
+    # exact timed frames). Re-dispatch threads own `r` and can wedge the
+    # trace phase, so skip them when the probe already answered.
+    attempts = 1 if probe_counters is not None else 3
+    for attempt in range(attempts):
         def _read_counters(o=read_out):
             shadow_of = (
                 int(o.shadow_overflow) if o.shadow_overflow is not None
@@ -555,6 +650,9 @@ def main():
         if ok:
             overflow_counters = counters
             break
+
+        if probe_counters is not None:
+            break  # probe already answered; don't risk wedging `r`
 
         # The re-dispatch itself must be watchdogged too: when the tunnel
         # stream (not just one output buffer) is wedged, render_frame's
@@ -578,11 +676,15 @@ def main():
             renderer_wedged = True
             break
         read_out = fresh
+    if overflow_counters is None and probe_counters is not None:
+        overflow_counters = probe_counters
+        overflow_source = "probe"
     if overflow_counters is not None:
         covered, main_of, shadow_of = overflow_counters
         print(
             f"covered {covered} px, "
-            f"overflow main={main_of} shadow={shadow_of}",
+            f"overflow main={main_of} shadow={shadow_of} "
+            f"({overflow_source})",
             file=sys.stderr,
         )
     try:
@@ -726,6 +828,7 @@ def main():
         # 0): the headline fps is only honest if no triangles were dropped.
         record["overflow_main"] = overflow_counters[1]
         record["overflow_shadow"] = overflow_counters[2]
+        record["overflow_source"] = overflow_source
     if device_ratio is not None:
         record["device_ratio"] = round(device_ratio, 3)
     if anim_vs_static is not None:
