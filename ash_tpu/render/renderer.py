@@ -1008,6 +1008,69 @@ class Renderer:
             self.temporal_aa.reset_history()
 
     # ------------------------------------------------------------------
+    # Tile-capacity escalation (drop-free rasterization)
+    # ------------------------------------------------------------------
+
+    def escalate_tile_capacities(self, main_overflow: int = 0,
+                                 shadow_overflow: int = 0) -> dict:
+        """Grow the per-tile binning capacities to fit a just-measured
+        overflow, so the next frame renders every submitted triangle.
+
+        The hardware rasterizer behind the reference has no per-tile
+        capacity concept (model_renderer.rs:309-385 just issues
+        cmd_draw_indexed and the pipeline rasterizes all of it); the TPU
+        binner's bounded lists drop the overflow instead
+        (ops/binning.py). This is the recovery path: feed back the
+        `binning_overflow` / `shadow_overflow` counters from a rendered
+        frame and the capacities grow to the next power of two that fits
+        (`overflow` reports the worst tile's EXCESS over the cap, so
+        cap + overflow is exactly the worst tile's demand). The next
+        render_frame re-specializes — a new program per capacity; the
+        bounded LRU registry keeps recent ones alive, so flipping
+        between escalated configs does not recompile.
+
+        The coarse cap rises in lockstep: with two-level binning the
+        reported overflow may come from the COARSE level (the counter is
+        the max of both levels' excess), and 2x the new fine cap bounds
+        the coarse demand in either case.
+
+        Returns {field: new_value} for what changed (empty = no-op).
+        """
+        c = self.config
+        changed: dict = {}
+
+        def _pow2(n: int) -> int:
+            p = 1
+            while p < n:
+                p *= 2
+            return p
+
+        if int(main_overflow) > 0:
+            c.max_tris_per_tile = _pow2(
+                c.max_tris_per_tile + int(main_overflow)
+            )
+            changed["max_tris_per_tile"] = c.max_tris_per_tile
+        if int(shadow_overflow) > 0:
+            c.shadow_max_tris_per_tile = _pow2(
+                c.shadow_max_tris_per_tile + int(shadow_overflow)
+            )
+            changed["shadow_max_tris_per_tile"] = c.shadow_max_tris_per_tile
+        if changed:
+            coarse = max(
+                c.binning_coarse_cap,
+                2 * max(c.max_tris_per_tile, c.shadow_max_tris_per_tile),
+            )
+            if coarse != c.binning_coarse_cap:
+                c.binning_coarse_cap = coarse
+                changed["binning_coarse_cap"] = coarse
+            # A cached shadow map may have been rendered WITH drops;
+            # re-render it at the new capacity. (The FrameConfig cache
+            # invalidates itself: it compares a deep copy of the config
+            # by equality, and the capacities just changed.)
+            self._shadow_cache = None
+        return changed
+
+    # ------------------------------------------------------------------
     # Frame loop (reference renderer.rs:1553-2041)
     # ------------------------------------------------------------------
 
