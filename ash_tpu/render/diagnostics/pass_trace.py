@@ -181,6 +181,28 @@ def device_frame_ratio(
     return ratio, frame_ms, calib_ms, profs
 
 
+def frame_totals(profs: List[PassProfile], iters: int):
+    """Per-FRAME (device_ms_trace_units, gflop, gbyte) summed over every
+    non-calibration module, weighted by executions/iters — split pipelines
+    run several executables per frame, and the shadow program may execute
+    less than once per frame when the renderer's shadow cache hits.
+
+    The ms are in the trace clock's units (bogus absolute scale on the
+    tunnel, see PassProfile.scaled_rows); gflop/gbyte come from XLA's
+    static per-op cost analysis (flops / bytes_accessed stats) and are
+    true per-execution values — bytes are fusion-level operand+result
+    traffic, an upper bound on achieved HBM bytes."""
+    ms = gf = gb = 0.0
+    for p in profs:
+        if "ash_guard_calib" in p.module_name:
+            continue
+        w = p.executions / max(iters, 1)
+        ms += p.total_ms * w
+        gf += sum(c.gflop for c in p.passes.values()) * w
+        gb += sum(c.gbyte for c in p.passes.values()) * w
+    return ms, gf, gb
+
+
 def profiles_from_xplane(path: str) -> List[PassProfile]:
     planes = parse_planes(path)
     out: List[PassProfile] = []

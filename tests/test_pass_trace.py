@@ -134,3 +134,34 @@ def test_device_frame_ratio_math(monkeypatch):
     assert abs(calib_ms - 4.0) < 1e-9
     assert out_profs is profs
     assert calls  # warmed the calibration program before tracing
+
+
+def test_frame_totals_weights_and_excludes_calib():
+    """frame_totals sums per-frame (trace-ms, gflop, gbyte) across the
+    frame's executables with executions/iters weighting and drops the
+    calibration module — the roofline numbers bench.py puts on every
+    metric line (VERDICT r4 next #3)."""
+    from ash_tpu.render.diagnostics import pass_trace as pt
+
+    profs = [
+        pt.PassProfile(
+            module_name="jit_frame", executions=12, total_ms=2.0,
+            passes={
+                "pass_shade": pt.PassCost(ms=1.5, gflop=10.0, gbyte=0.5),
+                "pass_raster": pt.PassCost(ms=0.5, gflop=2.0, gbyte=0.25),
+            },
+        ),
+        pt.PassProfile(
+            module_name="jit_shadow", executions=6, total_ms=1.0,
+            passes={"pass_shadow": pt.PassCost(ms=1.0, gflop=4.0,
+                                               gbyte=0.1)},
+        ),
+        pt.PassProfile(
+            module_name="jit_ash_guard_calib", executions=12, total_ms=4.0,
+            passes={"other": pt.PassCost(ms=4.0, gflop=100.0, gbyte=9.0)},
+        ),
+    ]
+    ms, gf, gb = pt.frame_totals(profs, iters=12)
+    assert abs(ms - (2.0 + 0.5)) < 1e-9
+    assert abs(gf - (12.0 + 2.0)) < 1e-9  # 10+2 full + 4*0.5 shadow
+    assert abs(gb - (0.75 + 0.05)) < 1e-9
