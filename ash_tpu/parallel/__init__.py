@@ -6,12 +6,17 @@ Two parallelism axes:
   animation rendering).
 """
 
-from .frame_parallel import batch_uniforms, make_frame_parallel
+from .frame_parallel import (
+    batch_uniforms,
+    make_frame_parallel,
+    make_frame_parallel_banded,
+)
 from .sharded import make_sharded_frame, render_mesh
 
 __all__ = [
     "batch_uniforms",
     "make_frame_parallel",
+    "make_frame_parallel_banded",
     "make_sharded_frame",
     "render_mesh",
 ]

@@ -211,3 +211,129 @@ def make_frame_parallel(config: FrameConfig, mesh: Mesh, axis: str = "fp"):
 def batch_uniforms(unis: list) -> FrameUniforms:
     """Stack per-frame FrameUniforms into one leading-axis batch."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *unis)
+
+
+def make_frame_parallel_banded(
+    config: FrameConfig,
+    mesh: Mesh,
+    frame_axis: str = "fp",
+    band_axis: str = "sp",
+):
+    """2D SPMD: animation frames x screen bands over one mesh.
+
+    The natural TPU-pod composition of the two existing modes: along
+    `frame_axis` different devices render DIFFERENT frames (throughput,
+    this module); along `band_axis` the devices cooperating on one frame
+    each raster+shade a horizontal BAND of it (latency, sharded.py). A
+    (2, 4) mesh renders 2 frames concurrently, each across 4 chips.
+
+    Collectives ride the right axes automatically: the shadow-map
+    all_gather and the covered/overflow psums run along `band_axis`
+    WITHIN each frame's sub-mesh (shard_map collectives are per-slice of
+    the other axes), and nothing crosses `frame_axis` — frames are
+    independent. The post chain (bloom/tonemap, whose convolutions cross
+    band boundaries) runs vmapped over the frame axis on the assembled,
+    still-sharded images, so XLA's SPMD partitioner inserts the halo
+    exchanges along `band_axis` exactly as in 1D band mode.
+
+    Returns fn(scene, uni_batch, pool=None, post=None, lights=None,
+    prev_depth_batch=None, ibl=None) -> FrameOutputs with a leading
+    frame axis on every per-frame leaf. TAA/TAAU are not supported here
+    (resolve needs cross-band history gathers; use a 1D mode for TAA).
+    """
+    if config.taa_enabled or config.render_scale != 1.0:
+        raise ValueError(
+            "make_frame_parallel_banded supports neither TAA nor TAAU "
+            "(history reprojection crosses band boundaries); use "
+            "make_frame_parallel (frames) or make_sharded_frame (bands)"
+        )
+    from ..render.frame import BandOutputs, BandSpec, band_rows, render_band
+
+    nf = mesh.shape[frame_axis]
+    nb = mesh.shape[band_axis]
+    cfg = config
+    band = BandSpec(axis=band_axis, n=nb)
+    per_dev = band_rows(cfg, nb)
+
+    def device_fn(scene, uni, pool, lights, prev_depth, ibl):
+        uni1 = jax.tree.map(lambda x: x[0], uni)
+        lights1 = None if lights is None else lights[0]
+        pd1 = None if prev_depth is None else prev_depth[0]
+        bo = render_band(
+            cfg, scene, uni1, pool, lights1, pd1, ibl, band=band
+        )
+        return jax.tree.map(
+            lambda x: x[None] if x is not None else None, bo
+        )
+
+    banded = ("color", "depth", "velocity")
+
+    @functools.lru_cache(maxsize=None)
+    def _compiled(tree_key):
+        del tree_key
+
+        def impl(scene, uni, pool, post, lights, prev_depth, ibl):
+            uni1 = jax.tree.map(lambda x: x[0], uni)
+            struct = jax.eval_shape(
+                functools.partial(render_band, cfg, band=None),
+                scene, uni1, pool,
+                None if lights is None else lights[0],
+                None if prev_depth is None else prev_depth[0],
+                ibl,
+            )
+            out_specs = BandOutputs(**{
+                f: (None if getattr(struct, f) is None
+                    else (P(frame_axis, band_axis) if f in banded
+                          else P(frame_axis)))
+                for f in BandOutputs._fields
+            })
+            spec_uni = jax.tree.map(lambda _: P(frame_axis), uni)
+            bo = jax.shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(P(), spec_uni, P(), P(frame_axis),
+                          P(frame_axis), P()),
+                out_specs=out_specs,
+                check_vma=False,
+            )(scene, uni, pool, lights, prev_depth, ibl)
+            if nb * per_dev != cfg.height:  # crop band padding per frame
+                bo = bo._replace(
+                    color=bo.color[:, :cfg.height],
+                    depth=bo.depth[:, :cfg.height],
+                    velocity=(
+                        None if bo.velocity is None
+                        else bo.velocity[:, :cfg.height]
+                    ),
+                )
+            # Post per frame, vmapped over the leading frame axis: the
+            # images stay band-sharded, so XLA partitions the pyramid
+            # convolutions with halo exchanges along band_axis.
+            return jax.vmap(
+                lambda b: finalize_frame(cfg, b, post, None, None)
+            )(bo)
+
+        return jax.jit(impl)
+
+    def frames(
+        scene: SceneBuffers,
+        uni_batch: FrameUniforms,
+        pool=None,
+        post=None,
+        lights=None,
+        prev_depth_batch=None,
+        ibl=None,
+    ) -> FrameOutputs:
+        lead = jax.tree.leaves(uni_batch)[0].shape[0]
+        if lead != nf:
+            raise ValueError(
+                f"uniform batch has {lead} frames, mesh frame axis has {nf}"
+            )
+        uni_dev = jax.tree.map(jnp.asarray, uni_batch)
+        key = tuple(
+            x is None for x in (pool, post, lights, prev_depth_batch, ibl)
+        )
+        return _compiled(key)(
+            scene, uni_dev, pool, post, lights, prev_depth_batch, ibl
+        )
+
+    return frames

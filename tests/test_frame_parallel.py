@@ -159,6 +159,63 @@ def test_frame_parallel_pipelined_taa_matches_sequential():
         )
 
 
+def test_frame_parallel_banded_2d_matches_sequential():
+    """2D mesh (frames x bands): 2 frames, each rendered across 4 band
+    devices, full feature set incl. shadows + Forward+ lights + post.
+    Must pixel-match sequential single-chip renders — the shadow
+    all_gather and scalar psums ride the band axis WITHIN each frame's
+    sub-mesh (VERDICT r4 next #9, the TPU-pod composition)."""
+    from jax.sharding import Mesh as Mesh2
+    from ash_tpu.parallel import make_frame_parallel_banded
+
+    nf, nb = 2, 4
+    devs = np.array(jax.devices()[: nf * nb]).reshape(nf, nb)
+    mesh = Mesh2(devs, ("fp", "sp"))
+    # shadow_resolution must split into nb band-axis bands of 32-row tiles
+    cfg = _config(shadow_resolution=128)
+    scene, uni0, extras = graft._example_scene(rich=True)
+    lights = np.asarray(extras["lights"], np.float32)
+
+    unis = [_uniforms_for_angle(0.7 * i, uni0) for i in range(nf)]
+    batch = batch_uniforms([jax.tree.map(np.asarray, u) for u in unis])
+    lights_b = np.tile(lights[None], (nf, 1, 1))
+
+    frames = make_frame_parallel_banded(cfg, mesh)
+    out = frames(scene, batch, pool=extras["pool"], lights=lights_b)
+    assert out.image.shape == (nf, 64, 96, 4)
+
+    import jax.numpy as jnp
+
+    ref_fn = jax.jit(
+        lambda u, p, l: render_frame_program(
+            cfg, scene, u, p, None, None, None, l, None, None
+        )
+    )
+    for i in range(nf):
+        ref = ref_fn(
+            jax.tree.map(jnp.asarray, unis[i]), extras["pool"],
+            jnp.asarray(lights),
+        )
+        a = np.asarray(out.image[i]).astype(np.int16)
+        b = np.asarray(ref.image).astype(np.int16)
+        diff = np.abs(a - b)
+        assert diff.max() <= 1, f"frame {i}: max u8 diff {diff.max()}"
+        frac = float((diff > 0).mean())
+        assert frac < 1e-3, f"frame {i}: {frac:.2%} pixels off by 1 LSB"
+        assert int(out.covered_pixels[i]) == int(ref.covered_pixels)
+
+
+def test_frame_parallel_banded_rejects_taa():
+    from jax.sharding import Mesh as Mesh2
+    from ash_tpu.parallel import make_frame_parallel_banded
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    with pytest.raises(ValueError, match="TAA"):
+        make_frame_parallel_banded(
+            _config(taa_enabled=True), Mesh2(devs, ("fp", "sp"))
+        )
+
+
 def test_frame_parallel_batch_size_check():
     n = 2
     mesh = Mesh(jax.devices()[:n], ("fp",))
