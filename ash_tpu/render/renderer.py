@@ -481,6 +481,9 @@ class Renderer:
             self._kernel_watcher = KernelWatcher()
         self._pending_resize: Optional[tuple] = None
         self._last_outputs: Optional[FrameOutputs] = None
+        # frame_cost_analysis recording: None (off) or a list the dispatch
+        # sites append (name, jit_fn, abstract_args) to for ONE frame.
+        self._dispatch_record: Optional[list] = None
         # Deferred overflow probe: (frame_stashed, main, shadow) device
         # scalars, read back only once they are many frames old. NEVER read
         # device values eagerly in the frame loop — an early blocking
@@ -1071,6 +1074,66 @@ class Renderer:
         return changed
 
     # ------------------------------------------------------------------
+    # Frame cost analysis (roofline numerators without a profiler)
+    # ------------------------------------------------------------------
+
+    def _record_dispatch(self, name: str, fn, args) -> None:
+        """When frame_cost_analysis is recording, note one program
+        dispatch as (name, jit_fn, abstract_args) — arguments decay to
+        ShapeDtypeStructs so the record pins no device buffers."""
+        if self._dispatch_record is None:
+            return
+        import jax
+
+        absargs = jax.tree.map(
+            lambda x: (
+                jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") and hasattr(x, "dtype") else x
+            ),
+            args,
+        )
+        self._dispatch_record.append((name, fn, absargs))
+
+    def frame_cost_analysis(self, view, proj, camera_pos) -> dict:
+        """XLA static cost analysis of the programs ONE frame dispatches.
+
+        Renders one frame with dispatch recording on, then lowers +
+        compiles each recorded program (client-side; the persistent
+        compilation cache makes the compile a disk hit) and sums XLA's
+        cost_analysis() flops / bytes-accessed — the roofline
+        numerators, available WITHOUT a profiler session (the tunneled
+        chip's jax.profiler collection hangs sporadically; static
+        analysis never touches the device). Call after warmup so the
+        recorded frame is the steady-state pipeline (tiered promotion
+        settled, shadow cache behaving as in the timed loop). The
+        chunked-geometry path does not record (programs comes back
+        empty).
+
+        Returns {"flops", "bytes_accessed", "programs": [names]}.
+        bytes_accessed is fusion-level operand+result traffic — an upper
+        bound on achieved HBM bytes.
+        """
+        self._dispatch_record = []
+        try:
+            self.render_frame(view, proj, camera_pos)
+            rec = self._dispatch_record
+        finally:
+            self._dispatch_record = None
+        flops = bytes_acc = 0.0
+        names = []
+        for name, fn, aargs in rec:
+            ca = fn.lower(*aargs).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops += float(ca.get("flops", 0.0) or 0.0)
+            bytes_acc += float(ca.get("bytes accessed", 0.0) or 0.0)
+            names.append(name)
+        return {
+            "flops": flops,
+            "bytes_accessed": bytes_acc,
+            "programs": names,
+        }
+
+    # ------------------------------------------------------------------
     # Frame loop (reference renderer.rs:1553-2041)
     # ------------------------------------------------------------------
 
@@ -1566,10 +1629,12 @@ class Renderer:
             # The moved models invalidate any cached standalone shadow map;
             # free its HBM (the next STATIC frame re-renders + re-caches).
             self._shadow_cache = None
-            outputs = dyn_fn(config)(
+            dyn_args = (
                 self._scene.buffers, consts, pool, history, lights,
                 prev_depth, self._ibl,
             )
+            self._record_dispatch("dynamic", dyn_fn(config), dyn_args)
+            outputs = dyn_fn(config)(*dyn_args)
             # The host mirror is mutated in place by the next
             # update_transforms; don't let TAA's prev-models fallback
             # alias it (post frames re-derive a device array anyway) —
@@ -1624,13 +1689,14 @@ class Renderer:
                     self._external_shadow(config, uni, consts, models, pool)
                     if use_ext else None
                 )
-                outputs = self._compiled_frame(config)(
+                frame_args = (
                     self._scene.buffers, consts, models, prev_models, pool,
-                    history, lights,
-                    prev_depth,
-                    self._ibl,
-                    ext_shadow,
+                    history, lights, prev_depth, self._ibl, ext_shadow,
                 )
+                self._record_dispatch(
+                    "frame", self._compiled_frame(config), frame_args
+                )
+                outputs = self._compiled_frame(config)(*frame_args)
         if outputs.history is not None:
             self._taa_history = outputs.history
         if self.occlusion_culling:
@@ -2000,10 +2066,14 @@ class Renderer:
                 if use_ext else None
             )
             self.pipeline_frames["fused"] += 1
-            return compiled_frame_packed(config)(
+            fused_args = (
                 scene, consts, models, prev_models, pool, history, lights,
                 prev_depth, self._ibl, ext_shadow,
             )
+            self._record_dispatch(
+                "fused", compiled_frame_packed(config), fused_args
+            )
+            return compiled_frame_packed(config)(*fused_args)
         if config not in self._split_warmed:
             self._warm_post_split(
                 config, band_fn, fin_fn, uni, consts, models, prev_models,
@@ -2021,11 +2091,47 @@ class Renderer:
             if promoted is not None:
                 kind, call = promoted
                 self.pipeline_frames[kind] += 1
+                if self._dispatch_record is not None:
+                    self._record_promoted(config, kind, args)
                 return call()
         self.pipeline_frames["split"] += 1
-        bo = band_fn(scene, consts, models, prev_models, pool, lights,
+        band_args = (scene, consts, models, prev_models, pool, lights,
                      prev_depth, self._ibl, ext_shadow)
+        self._record_dispatch("band", band_fn, band_args)
+        bo = band_fn(*band_args)
+        self._record_dispatch("finalize", fin_fn, (bo, consts, history))
         return fin_fn(bo, consts, history)
+
+    def _record_promoted(self, config, kind, args) -> None:
+        """frame_cost_analysis recording for the tiered-promoted call
+        (whose fn/args live inside _promoted's closure): reconstruct the
+        same programs from the registry. The finalize input structure
+        comes from eval_shape on the band program — shapes only, nothing
+        executes."""
+        import jax
+
+        from .frame import (
+            compiled_band_packed,
+            compiled_finalize_packed,
+            compiled_frame_packed,
+        )
+
+        if kind == "fused":
+            self._record_dispatch(
+                "fused", compiled_frame_packed(config), args
+            )
+            return
+        (scene, consts, models, prev_models, pool, history, lights,
+         prev_depth, ibl, ext_shadow) = args
+        band_fn = compiled_band_packed(config)
+        band_args = (scene, consts, models, prev_models, pool, lights,
+                     prev_depth, ibl, ext_shadow)
+        self._record_dispatch("band", band_fn, band_args)
+        bo_struct = jax.eval_shape(band_fn, *band_args)
+        self._record_dispatch(
+            "finalize", compiled_finalize_packed(config),
+            (bo_struct, consts, history),
+        )
 
     def _cold_effort(self):
         """Reduced-effort compile applies only where promotion can later
@@ -2572,9 +2678,11 @@ class Renderer:
         shadow_pool = (
             pool if (config.alpha_test and config.textured) else None
         )
-        sm, sof = compiled_shadow_packed(config)(
-            self._scene.buffers, models, consts, shadow_pool,
+        shadow_args = (self._scene.buffers, models, consts, shadow_pool)
+        self._record_dispatch(
+            "shadow", compiled_shadow_packed(config), shadow_args
         )
+        sm, sof = compiled_shadow_packed(config)(*shadow_args)
         self._shadow_cache = (key, sm, sof)
         return sm, sof
 
