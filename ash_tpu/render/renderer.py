@@ -331,6 +331,14 @@ class RendererConfig:
     # background and the race promotes to the measured winner. None
     # disables (cold split compiles at full effort).
     cold_compile_effort: Optional[float] = -1.0
+    # Resize without a frame-loop stall: a new extent keeps serving
+    # (scaled) frames from the old-extent programs while the new shape
+    # compiles in a background thread, then swaps — the reference's
+    # deferred swapchain-rebuild state machine (renderer.rs:1093-1545),
+    # where the stall being hidden is a full XLA re-specialization
+    # (seconds) instead of a vkCreateSwapchainKHR. False = old behavior
+    # (the first frame at a new extent blocks on the compile).
+    async_resize: bool = True
     # Where tiered mode's background full-effort compiles run.
     # "subprocess" (default): an aot_worker process primes the persistent
     # compilation cache and the in-process compile becomes a disk hit —
@@ -484,6 +492,12 @@ class Renderer:
         # frame_cost_analysis recording: None (off) or a list the dispatch
         # sites append (name, jit_fn, abstract_args) to for ONE frame.
         self._dispatch_record: Optional[list] = None
+        # Async resize transition (config.async_resize): {"target", "thread"}
+        # while the new extent's programs compile in the background.
+        self._resize_state: Optional[dict] = None
+        # Last standard frame's (config, consts, models, prev_models, pool,
+        # lights, use_ext) — the shapes _start_resize_warm lowers against.
+        self._warm_args: Optional[tuple] = None
         # Deferred overflow probe: (frame_stashed, main, shadow) device
         # scalars, read back only once they are many frames old. NEVER read
         # device values eagerly in the frame loop — an early blocking
@@ -997,18 +1011,127 @@ class Renderer:
     def request_swapchain_resize(self, width: int, height: int) -> None:
         self._pending_resize = (int(width), int(height))
 
+    def _adopt_extent(self, size) -> None:
+        # Re-specialization happens implicitly via the FrameConfig key;
+        # resolution-shaped temporal state must be dropped (the analog of
+        # the reference recreating per-swapchain resources,
+        # renderer.rs:1169-1218).
+        self._width, self._height = size
+        self._taa_history = None
+        self._prev_depth = None
+        self.temporal_aa.reset_history()
+
     def _resize_if_needed(self) -> None:
         size = self._pending_resize or self.surface.physical_size()
         self._pending_resize = None
-        if size != (self._width, self._height):
-            # Re-specialization happens implicitly via the FrameConfig key;
-            # resolution-shaped temporal state must be dropped (the analog of
-            # the reference recreating per-swapchain resources,
-            # renderer.rs:1169-1218).
-            self._width, self._height = size
-            self._taa_history = None
-            self._prev_depth = None
-            self.temporal_aa.reset_history()
+        st = self._resize_state
+        if st is not None:
+            if size != st["target"]:
+                # Target moved again mid-transition (live window drag):
+                # abandon the old warm (its thread finishes harmlessly;
+                # the programs stay cached for a return to that size).
+                self._resize_state = None
+                st = None
+            elif not st["thread"].is_alive():
+                # New-extent programs are compiled: swap. THIS frame
+                # renders natively — the jit executables are cache hits.
+                self._resize_state = None
+                self._adopt_extent(size)
+                return
+        if size == (self._width, self._height):
+            return
+        if (
+            not self.config.async_resize
+            or self.frame_count == 0
+            or self._warm_args is None
+        ):
+            self._adopt_extent(size)
+            return
+        if st is None:
+            # Deferred rebuild (reference renderer.rs:1093-1545): keep
+            # rendering at the old extent, compile the new-extent
+            # programs in the background, present SCALED frames so the
+            # surface sees its requested size from the very next frame.
+            self._start_resize_warm(size)
+
+    def _start_resize_warm(self, size) -> None:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        w2, h2 = size
+        (config, consts, models, prev_models, pool, lights,
+         use_ext) = self._warm_args
+        config2 = _dc.replace(config, width=w2, height=h2)
+        history2 = (
+            jnp.zeros((h2, w2, 3), jnp.float32)
+            if config.taa_enabled and config.post_enabled else None
+        )
+        prev_depth2 = (
+            jnp.ones((h2, w2), jnp.float32)
+            if config.occlusion_culling else None
+        )
+        state = {"target": size}
+
+        def run():
+            try:
+                if config2.post_enabled:
+                    from .frame import (
+                        compiled_band_packed,
+                        compiled_finalize_packed,
+                    )
+
+                    effort = self._cold_effort()
+                    self._warm_post_split(
+                        config2, compiled_band_packed(config2, effort),
+                        compiled_finalize_packed(config2, effort), None,
+                        consts, models, prev_models, pool, history2,
+                        lights, prev_depth2, use_ext,
+                    )
+                else:
+                    self._warm_plain(
+                        config2, None, consts, models, prev_models, pool,
+                        history2, lights, prev_depth2, use_ext,
+                    )
+                self._split_warmed.add(config2)
+            except Exception as e:  # noqa: BLE001 — adoption falls back
+                import logging
+
+                logging.getLogger("ash_tpu.renderer").warning(
+                    "async resize warm failed (the first native frame "
+                    "will compile synchronously): %s", e,
+                )
+
+        t = threading.Thread(target=run, name="ash-resize-warm",
+                             daemon=True)
+        state["thread"] = t
+        self._resize_state = state
+        t.start()
+
+    def wait_resize(self, timeout: Optional[float] = None) -> bool:
+        """Block until a pending async resize has compiled its programs
+        (the swap itself lands on the next render_frame). Returns True
+        when nothing is pending."""
+        st = self._resize_state
+        if st is None:
+            return True
+        st["thread"].join(timeout)
+        return not st["thread"].is_alive()
+
+    def _present_scale(self, image, size):
+        """Nearest-neighbor scale of a presented frame to the surface's
+        requested extent during a resize transition. Eager gather ops:
+        jax caches the tiny executables per shape pair, so only the
+        first transition frame pays their (sub-second) compiles."""
+        import jax.numpy as jnp
+
+        w2, h2 = size
+        h1, w1 = image.shape[0], image.shape[1]
+        if (w1, h1) == (w2, h2):
+            return image
+        ridx = (jnp.arange(h2) * h1) // h2
+        cidx = (jnp.arange(w2) * w1) // w2
+        return image[ridx][:, cidx]
 
     # ------------------------------------------------------------------
     # Tile-capacity escalation (drop-free rasterization)
@@ -1665,6 +1788,12 @@ class Renderer:
                 pack_frame_consts(config, uni, post, taa_params)
             )
             prev_models = uni.prev_models
+            # Shapes for a later async-resize warm (everything here is
+            # extent-independent except history/prev_depth, which the
+            # warm rebuilds at the target size).
+            self._warm_args = (
+                config, consts, models, prev_models, pool, lights, use_ext
+            )
             if config.post_enabled:
                 # Post-enabled frames run as TWO programs (band + finalize)
                 # so cold start can compile band, finalize, and the shadow
@@ -1710,6 +1839,12 @@ class Renderer:
                 image, self.diagnostics_state.overlay_lines()
             )
             outputs = outputs._replace(image=image)
+
+        if self._resize_state is not None:
+            # Mid-transition: the surface already reports the new extent;
+            # scale the old-extent frame so every presented image honors
+            # it (no frame ever blocks on the new shape's compile).
+            image = self._present_scale(image, self._resize_state["target"])
 
         self.surface.present(image)
         self._last_outputs = outputs

@@ -37,8 +37,22 @@ def main(seconds=10.0, port=0):
 
         t0 = time.monotonic()
         frames = 0
+        resized = False
         while time.monotonic() - t0 < seconds:
             t = (time.monotonic() - t0) * 0.8
+            if not resized and time.monotonic() - t0 > seconds / 2:
+                # Live resize, no stream stall: the loop keeps presenting
+                # scaled frames from the 640x480 programs while the
+                # 960x540 programs compile in the background, then swaps
+                # (RendererConfig.async_resize, the deferred swapchain
+                # rebuild of renderer.rs:1093-1545).
+                surface.resize(960, 540)
+                proj = maths.perspective_rh(
+                    np.deg2rad(45), 960 / 540, 0.5, 100.0
+                )
+                proj[1, 1] *= -1.0
+                resized = True
+                print("resized surface to 960x540 (async transition)")
             camera_pos = np.array(
                 [5.0 * np.sin(t), 2.0, 5.0 * np.cos(t)], np.float32
             )

@@ -140,7 +140,67 @@ def test_resize_respecializes_and_clears_temporal_state():
 
     surface.resize(96, 80)
     view, proj, pos = _camera(96, 80)
+    # Async resize (deferred swapchain rebuild): the first frames after a
+    # resize keep the OLD-extent programs (no compile stall) and present
+    # SCALED to the new extent; once the background warm finishes, the
+    # next frame adopts the native programs.
+    out = r.render_frame(view, proj, pos)
+    img = surface.read_back()
+    assert img.shape == (80, 96, 4)  # surface contract from frame 1
+    assert out.color.shape[0] == 64  # still the old program (no stall)
+    assert r.wait_resize(timeout=120.0)
     out = r.render_frame(view, proj, pos)
     img = surface.read_back()
     assert img.shape == (80, 96, 4)
-    assert out.history.shape == (80, 96, 3)
+    assert out.history.shape == (80, 96, 3)  # native + temporal state reset
+
+
+def test_resize_sync_mode_respecializes_immediately():
+    """async_resize=False keeps the old blocking behavior: the first
+    frame after a resize is already native."""
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False, async_resize=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    view, proj, pos = _camera(64, 64)
+    r.render_frame(view, proj, pos)
+    surface.resize(96, 80)
+    view, proj, pos = _camera(96, 80)
+    out = r.render_frame(view, proj, pos)
+    assert out.color.shape[:2] == (80, 96)
+    assert surface.read_back().shape == (80, 96, 4)
+
+
+def test_async_resize_every_frame_presents_and_swaps():
+    """During the transition EVERY frame presents at the requested
+    extent while the old program keeps serving; after the warm lands the
+    loop swaps to the native program (the reference's deferred rebuild,
+    renderer.rs:1093-1545). A second resize mid-transition retargets."""
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.set_mesh(Mesh.create_cube())
+    view, proj, pos = _camera(64, 64)
+    r.render_frame(view, proj, pos)
+
+    surface.resize(128, 96)
+    view, proj, pos = _camera(128, 96)
+    served_old = 0
+    for _ in range(50):
+        out = r.render_frame(view, proj, pos)
+        assert surface.read_back().shape == (96, 128, 4)
+        if out.color.shape[0] != 96:
+            served_old += 1
+        if out.color.shape[0] == 96:
+            break
+        r.wait_resize(timeout=10.0)
+    assert out.color.shape[:2] == (96, 128), "never swapped to native"
+    # At least the first transition frame must have come from the old
+    # program (proving no synchronous re-specialization happened).
+    assert served_old >= 1
