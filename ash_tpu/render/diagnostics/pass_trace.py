@@ -125,22 +125,30 @@ def profile_passes(
 def calibration_program(size: int = 1024, loops: int = 16):
     """Fixed-work calibration kernel for the device-time perf guard.
 
-    A chained f32 matmul loop (`loops` x `size`^2 @ `size`^2, data-
-    dependent so XLA cannot elide iterations) whose device time is a
-    hardware constant. Guarding the RATIO frame_device_ms /
-    calib_device_ms from one trace session is immune to BOTH tunnel
-    dispatch noise (wall fps swings 2-4x with time of day, PERF_BUDGET
-    comment) and the tunnel trace clock's bogus absolute scale (~600x
-    off, see PassProfile.scaled_rows — both programs share the clock, so
-    the scale cancels). Returns (jitted_fn, input_array); the module
-    traces under a name containing "ash_guard_calib"."""
+    A chained f32 matmul loop (`loops` x `size`^2 @ `size`^2) whose
+    device time is a hardware constant. Guarding the RATIO
+    frame_device_ms / calib_device_ms from one trace session is immune
+    to BOTH tunnel dispatch noise (wall fps swings 2-4x with time of
+    day, PERF_BUDGET comment) and the tunnel trace clock's bogus
+    absolute scale (~600x off, see PassProfile.scaled_rows — both
+    programs share the clock, so the scale cancels). Returns
+    (jitted_fn, input_array); the module traces under a name containing
+    "ash_guard_calib".
+
+    Each iteration is tanh(a @ x + eps*i): a PURE `a = a @ x` chain
+    measured ~0 device time on the TPU backend (r5: wall flat at
+    ~0.03 ms from 16 to 4096 loops AND the device timeline showed the
+    module at ~1/2500 of a frame — XLA collapses the chained power);
+    the per-iteration nonlinearity + index term leave it nothing to
+    collapse, and tanh keeps the values bounded so no inf/NaN fast
+    paths kick in."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def ash_guard_calib(x):
-        def body(_, a):
-            return a @ x
+        def body(i, a):
+            return jnp.tanh(a @ x + jnp.float32(1e-6) * i)
 
         return jax.lax.fori_loop(0, loops, body, x)
 

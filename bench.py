@@ -712,6 +712,30 @@ def main():
                         else min(10 * math.log10(255.0 ** 2 / mse), 99.9)
                     )
                     result["psnr_vs_base"] = round(psnr, 1)
+        if not args.animate:
+            # TRUE device throughput (round-5 discovery, see
+            # diagnostics/device_probe.py: single-execution walls measure
+            # dispatch rate on the tunnel — block_until_ready acks without
+            # waiting; the honest number is the in-graph K-frame scan
+            # slope, drain-forced). Measured HERE, in the fresh probe
+            # process, because the drain needs readbacks and this process
+            # is the one place they're reliable.
+            from ash_tpu.render.diagnostics.device_probe import (
+                ingraph_device_ms,
+            )
+
+            ok, ig = with_timeout(
+                lambda: ingraph_device_ms(r), 900, "in-graph device probe"
+            )
+            if ok and ig is not None:
+                result["device_ms_ingraph"] = round(ig["device_ms"], 3)
+                result["device_fps_ingraph"] = round(ig["fps"], 1)
+                print(
+                    f"device throughput (in-graph scan slope "
+                    f"K={ig['k']}): {ig['device_ms']:.2f} ms/frame = "
+                    f"{ig['fps']:.1f} fps",
+                    file=sys.stderr,
+                )
         print(json.dumps({"overflow_probe": result}))
         _exit_bench(0)
     for _ in range(2):
@@ -848,56 +872,19 @@ def main():
     # from the pre-timing fresh-process probe, and readbacks (cpu/small
     # live counters, --save) happen last.
 
-    # Calibration WALL time, measured while dispatch is still pipelined:
-    # two chained-matmul programs differing only in loop count; the wall
-    # DELTA isolates pure device time (dispatch/transfer overhead and any
-    # constant per-execution cost cancel). ratio * calib_wall16 converts
-    # the trace's dimensionless frame/calibration ratio into true frame
-    # DEVICE ms — the number the reference reads off its GPU timestamps
-    # (gpu_profiler.rs:229-275) and the r4 artifact lacked entirely.
+    # NOTE on wall clocks (round-5 discovery, diagnostics/device_probe.py):
+    # on this tunneled backend block_until_ready ACKS WITHOUT WAITING, so
+    # the fps above measures the host's pipelined DISPATCH rate, not
+    # device throughput. The honest per-frame device time is the in-graph
+    # K-frame scan slope measured in the fresh-process probe
+    # (device_ms_ingraph below); the trace contributes per-pass FRACTIONS
+    # and per-op flops/bytes (real chip counters / XLA cost model), but
+    # its absolute ms reflect per-execution tunnel service occupation and
+    # are not used for device time.
     want_trace = (
         args.trace if args.trace is not None
         else not (args.cpu or args.small)
     )
-    calib_wall16_ms = None
-    if want_trace and not args.cpu:
-        def _calib_wall():
-            from ash_tpu.render.diagnostics import pass_trace
-
-            # 4096 vs 256 loops: the ~80 ms device-time delta dwarfs the
-            # tunnel's ms-scale dispatch jitter (a 256-vs-16 delta measured
-            # ~0 on a degraded session — noise swamped the ~2.5 ms signal).
-            f_lo, x = pass_trace.calibration_program(1024, 256)
-            f_hi, _ = pass_trace.calibration_program(1024, 4096)
-            f_lo(x).block_until_ready()
-            f_hi(x).block_until_ready()
-
-            def best_ms(fn, reps=3):
-                best = float("inf")
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    fn(x).block_until_ready()
-                    best = min(best, time.perf_counter() - t0)
-                return best * 1000.0
-
-            w_lo, w_hi = best_ms(f_lo), best_ms(f_hi)
-            return (w_hi - w_lo) / 3840.0 * 16.0
-
-        ok, calib_wall16_ms = with_timeout(_calib_wall, 180,
-                                           "calibration wall timing")
-        if ok and calib_wall16_ms is not None and calib_wall16_ms > 0.01:
-            print(
-                f"calibration program device time: {calib_wall16_ms:.3f} ms"
-                " (16 chained 1024^2 f32 matmuls, dispatch-cancelled)",
-                file=sys.stderr,
-            )
-        else:
-            if ok:
-                print(
-                    f"calibration wall delta implausible "
-                    f"({calib_wall16_ms}); discarding", file=sys.stderr,
-                )
-            calib_wall16_ms = None
 
     device_ratio = None
     device_ms = None
@@ -971,39 +958,17 @@ def main():
             )
         if device_ratio is not None:
             print(
-                f"device-time ratio (frame / calibration matmul): "
-                f"{device_ratio:.3f}",
+                f"device-time ratio (frame / calibration matmul, trace "
+                f"units): {device_ratio:.3f}",
                 file=sys.stderr,
             )
             _, frame_gflop, frame_gbyte = traced[2]
-            if calib_wall16_ms is not None:
-                device_ms = device_ratio * calib_wall16_ms
-                # Roofline (VERDICT r4 next #3): GFLOP/frame over device
-                # ms/frame = TFLOP/s achieved; GB/frame likewise. Peaks:
-                # TPU v5e = 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The
-                # flops/bytes are XLA's static per-op cost analysis
-                # (bytes = fusion-level operand+result traffic, an upper
-                # bound on true HBM bytes).
-                tflops = frame_gflop / max(device_ms, 1e-9)
-                gbps = frame_gbyte / max(device_ms, 1e-9) * 1000.0
-                print(
-                    f"roofline: device {device_ms:.3f} ms/frame, "
-                    f"{frame_gflop:.2f} GFLOP -> {tflops:.2f} TFLOP/s "
-                    f"({100 * tflops / 197.0:.1f}% of v5e bf16 peak), "
-                    f"{frame_gbyte:.3f} GB -> {gbps:.0f} GB/s "
-                    f"({100 * gbps / 819.0:.1f}% of v5e HBM peak)",
-                    file=sys.stderr,
-                )
 
-    # Roofline fallback (profiler-free): when the trace failed — the
-    # tunnel's profiler collection is its most hang-prone operation and
-    # r5's first session hung it 300 s — the FLOPs/bytes come from XLA's
-    # static cost analysis of the exact programs one steady-state frame
-    # dispatches (Renderer.frame_cost_analysis, client-side), and
-    # device_ms falls back to the wall frame time: an UPPER bound on
-    # device time (the loop is dispatch-pipelined), making the derived
-    # MFU a lower bound. device_ms_source on the metric line says which.
-    device_ms_source = "trace_ratio" if device_ms is not None else None
+    # FLOPs/bytes fallback (profiler-free): when the trace failed — the
+    # tunnel's profiler collection is its most hang-prone operation —
+    # they come from XLA's static cost analysis of the exact programs one
+    # steady-state frame dispatches (Renderer.frame_cost_analysis,
+    # client-side, no device I/O).
     if want_trace and frame_gflop is None and not args.cpu:
         def _cost():
             if args.animate:
@@ -1022,16 +987,26 @@ def main():
                 f"{frame_gbyte:.3f} GB",
                 file=sys.stderr,
             )
-    if device_ms is None and frame_gflop is not None:
-        device_ms = dt * 1000.0
-        device_ms_source = "wall_upper_bound"
+
+    # Device time for the roofline: the probe's in-graph scan slope is
+    # the ONLY number that measures the chip (see device_probe.py); the
+    # wall frame time is kept as an explicit dispatch-rate figure, not a
+    # device time.
+    device_ms_source = None
+    ingraph_ms = probe.get("device_ms_ingraph") if probe else None
+    if ingraph_ms:
+        device_ms = ingraph_ms
+        device_ms_source = "ingraph_scan_slope"
+    if device_ms is not None and frame_gflop is not None:
         tflops = frame_gflop / max(device_ms, 1e-9)
         gbps = frame_gbyte / max(device_ms, 1e-9) * 1000.0
         print(
-            f"roofline (device_ms = wall upper bound): {device_ms:.3f} ms, "
-            f"{tflops:.2f}+ TFLOP/s ({100 * tflops / 197.0:.1f}%+ of v5e "
-            f"bf16 peak), {gbps:.0f}+ GB/s "
-            f"({100 * gbps / 819.0:.1f}%+ of HBM peak)",
+            f"roofline (device = in-graph scan slope): {device_ms:.3f} "
+            f"ms/frame, {frame_gflop:.2f} GFLOP -> {tflops:.2f} TFLOP/s "
+            f"({100 * tflops / 197.0:.1f}% of v5e bf16 peak), "
+            f"{frame_gbyte:.3f} GB -> {gbps:.0f} GB/s "
+            f"({100 * gbps / 819.0:.1f}% of v5e HBM peak; XLA "
+            f"fusion-level bytes, an upper bound)",
             file=sys.stderr,
         )
 
@@ -1133,11 +1108,19 @@ def main():
             record["psnr_vs_base_cap"] = probe["psnr_vs_base"]
     if device_ratio is not None:
         record["device_ratio"] = round(device_ratio, 3)
-    if device_ms is not None:
-        # Roofline accounting (VERDICT r4 next #3): true device ms via
-        # ratio x measured calibration wall; FLOPs/bytes from XLA's
-        # per-op cost analysis summed over the frame's executables.
-        record["device_ms"] = round(device_ms, 4)
+    if ingraph_ms:
+        # TRUE device throughput (in-graph scan slope from the probe
+        # process): the chip's per-frame time with dispatch,
+        # per-execution tunnel overhead, and readback noise all
+        # cancelled. The headline `value` above is the pipelined
+        # dispatch rate (what the r1-r4 lines measured); this is what
+        # the hardware does.
+        record["device_ms"] = round(ingraph_ms, 3)
+        record["device_fps"] = round(1000.0 / ingraph_ms, 1)
+    if device_ms is not None and frame_gflop is not None:
+        # Roofline accounting (VERDICT r4 next #3): FLOPs/bytes from
+        # XLA's per-op cost analysis summed over the frame's
+        # executables, over the in-graph device ms.
         record["gflops"] = round(frame_gflop, 2)
         record["achieved_tflops"] = round(
             frame_gflop / max(device_ms, 1e-9), 2
@@ -1187,6 +1170,33 @@ def main():
             )
             _exit_bench(1)
         print(f"perf guard OK: {fps:.1f} >= {min_fps} fps", file=sys.stderr)
+        # TRUE device-throughput guard — the intended BINDING check: the
+        # in-graph scan slope measures the chip itself (dispatch rate,
+        # per-execution tunnel overhead, and readback noise all cancel in
+        # the K-delta), so unlike the wall floors it does not swing with
+        # tunnel phase and its floor can sit close to measured.
+        dev_key = key.replace("min_fps", "min_device_fps")
+        min_dev = budget.get(dev_key)
+        if min_dev is not None and ingraph_ms:
+            dev_fps = 1000.0 / ingraph_ms
+            if dev_fps < min_dev:
+                print(
+                    f"PERF GUARD FAILED: device throughput "
+                    f"{dev_fps:.1f} fps < budget {min_dev} ({dev_key}) — "
+                    "the frame's on-chip time regressed",
+                    file=sys.stderr,
+                )
+                _exit_bench(1)
+            print(
+                f"device-throughput guard OK: {dev_fps:.1f} >= {min_dev} "
+                "fps", file=sys.stderr,
+            )
+        elif min_dev is not None:
+            print(
+                f"device-throughput guard SKIPPED: no in-graph probe "
+                f"measurement (budget {dev_key}={min_dev})",
+                file=sys.stderr,
+            )
         # Device-time ratio guard: the BINDING check (VERDICT r3 weak #2).
         # The wall floors above absorb 2-4x tunnel variance, so only a
         # catastrophic regression trips them; the frame/calibration device

@@ -1,0 +1,58 @@
+"""In-graph device-throughput probe (diagnostics/device_probe.py).
+
+On the tunneled TPU the probe's K-frame scan slope is the only honest
+per-frame device time (single-execution walls measure dispatch rate —
+see the module docstring). These CPU tests pin the mechanics: positive
+slope, covered counts matching a direct render, and both the plain
+(single fused program) and post (band+finalize, TAA history carried
+in-graph) paths building valid scans."""
+
+import numpy as np
+
+from ash_tpu import Material, Mesh
+from ash_tpu.core.transform import Camera
+from ash_tpu.render import HeadlessSurface, Renderer, RendererConfig
+from ash_tpu.render.diagnostics.device_probe import ingraph_device_ms
+
+
+def _renderer(post=False):
+    r = Renderer(HeadlessSurface(64, 64), RendererConfig(
+        tile_h=8, tile_w=32, max_tris_per_tile=64,
+        shadow_resolution=128, shadow_tile=32,
+        shadow_max_tris_per_tile=64,
+    ))
+    r.set_mesh(Mesh.create_cube())
+    r.set_material(Material(color=(0.8, 0.3, 0.2, 1.0)))
+    if post:
+        r.initialize_hdr()
+        r.set_taa_enabled(True)
+    cam = Camera.new([0, 0, 4], [0, 0, 0], 1.0)
+    view, proj = cam.view_matrix(), cam.projection_matrix()
+    out = r.render_frame(view, proj, cam.position)
+    if post:
+        r.wait_pipeline_optimization()
+        out = r.render_frame(view, proj, cam.position)
+    return r, out
+
+
+def test_probe_plain_matches_direct_render():
+    r, out = _renderer()
+    res = ingraph_device_ms(r, k_lo=2, k_hi=6, reps=1)
+    assert res is not None
+    assert res["device_ms"] > 0
+    assert res["covered"] == int(out.covered_pixels)
+
+
+def test_probe_post_taa_path():
+    r, out = _renderer(post=True)
+    res = ingraph_device_ms(r, k_lo=2, k_hi=6, reps=1)
+    assert res is not None
+    assert res["device_ms"] > 0
+    assert res["covered"] == int(out.covered_pixels)
+
+
+def test_probe_returns_none_without_state():
+    r = Renderer(HeadlessSurface(32, 32), RendererConfig(
+        tile_h=8, tile_w=32, max_tris_per_tile=32, shadows_enabled=False,
+    ))
+    assert ingraph_device_ms(r) is None
