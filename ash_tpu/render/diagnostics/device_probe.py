@@ -95,6 +95,97 @@ def _build_scan(r, k: int):
     return f
 
 
+def ingraph_device_ms_dynamic(
+    r,
+    consts_list,
+    k_lo: int = 4,
+    k_hi: int = 24,
+    reps: int = 2,
+) -> Optional[dict]:
+    """Animated-path variant: scan over per-frame packed dynamic consts.
+
+    `consts_list` is a list of the one-upload dynamic buffers (consts +
+    TRS or model-matrix tail) from real animated frames — the probe
+    cycles them to K scan iterations, composing the models ON DEVICE per
+    iteration exactly as compiled_frame_dynamic[_trs] does, shadows
+    inline. Measures the true device cost of an animated frame (the
+    wall-clock animated:static ratio only sees host+dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..frame import (
+        consts_layout,
+        models_from_trs,
+        render_frame_program,
+        unpack_frame_consts,
+    )
+
+    if getattr(r, "_dyn_args", None) is None or r._scene is None:
+        return None
+    (config, _c, kind, pool, history, lights, prev_depth) = r._dyn_args
+    cfg = config
+    scene = r._scene.buffers
+    _, total = consts_layout(cfg)
+    d = scene.num_draws
+
+    def make(k):
+        batch = jnp.stack([
+            jnp.asarray(consts_list[i % len(consts_list)])
+            for i in range(k)
+        ])
+
+        @jax.jit
+        def f(batch, scene, pool, lights, prev_depth, history):
+            def body(dep, ci):
+                ci = ci.at[0].add(dep)
+                if kind == "trs":
+                    t = ci[total:total + 3 * d].reshape(d, 3)
+                    q = ci[total + 3 * d:total + 7 * d].reshape(d, 4)
+                    s = ci[total + 7 * d:total + 10 * d].reshape(d, 3)
+                    models = models_from_trs(t, q, s)
+                else:
+                    models = ci[total:total + 16 * d].reshape(d, 4, 4)
+                uni, post, taa = unpack_frame_consts(
+                    cfg, ci[:total], models, None
+                )
+                out = render_frame_program(
+                    cfg, scene, uni, pool, post, taa, history, lights,
+                    prev_depth, r._ibl, None,
+                )
+                dep = (out.covered_pixels.astype(jnp.float32)
+                       * jnp.float32(1e-30))
+                return dep, out.covered_pixels
+
+            _, cov = jax.lax.scan(body, jnp.float32(0.0), batch)
+            return cov
+
+        return f, batch
+
+    results = {}
+    covered = None
+    for k in (k_lo, k_hi):
+        f, batch = make(k)
+        args = (batch, scene, pool, lights, prev_depth, history)
+        np.asarray(f(*args))  # compile + first drain
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cov = np.asarray(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        results[k] = best
+        covered = int(cov[-1])
+    slope_s = (results[k_hi] - results[k_lo]) / (k_hi - k_lo)
+    if slope_s <= 0:
+        return None
+    device_ms = slope_s * 1000.0
+    return {
+        "device_ms": device_ms,
+        "fps": 1000.0 / device_ms,
+        "k": (k_lo, k_hi),
+        "covered": covered,
+    }
+
+
 def ingraph_device_ms(
     r,
     k_lo: int = 4,

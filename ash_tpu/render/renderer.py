@@ -492,6 +492,9 @@ class Renderer:
         # frame_cost_analysis recording: None (off) or a list the dispatch
         # sites append (name, jit_fn, abstract_args) to for ONE frame.
         self._dispatch_record: Optional[list] = None
+        # Last dynamic-path dispatch (config, consts, kind, ...) for the
+        # in-graph device probe's animated variant.
+        self._dyn_args: Optional[tuple] = None
         # Async resize transition (config.async_resize): {"target", "thread"}
         # while the new extent's programs compile in the background.
         self._resize_state: Optional[dict] = None
@@ -1757,6 +1760,12 @@ class Renderer:
                 prev_depth, self._ibl,
             )
             self._record_dispatch("dynamic", dyn_fn(config), dyn_args)
+            # The in-graph device probe's dynamic variant rebuilds this
+            # frame from the packed buffer (device_probe.py).
+            self._dyn_args = (
+                config, consts, "trs" if self._trs_pending else "dense",
+                pool, history, lights, prev_depth,
+            )
             outputs = dyn_fn(config)(*dyn_args)
             # The host mirror is mutated in place by the next
             # update_transforms; don't let TAA's prev-models fallback

@@ -634,6 +634,7 @@ def main():
             # overflow appearing late must not hide behind a frame-1-only
             # probe — ADVICE r4 #1). Report the worst pose.
             worst = None
+            dyn_consts = []
             for t in (1.0 / 60.0, 100.0 / 60.0, 200.0 / 60.0):
                 def _pose(t=t):
                     r.update_transforms_trs(*animated_models_trs(anim, t))
@@ -647,6 +648,8 @@ def main():
                 ok, o = with_timeout(_pose, 120, f"probe pose t={t:.2f}")
                 if not ok:
                     continue
+                if r._dyn_args is not None:
+                    dyn_consts.append(r._dyn_args[1])
                 c = _read_with_retry(o, _pose, f"probe pose t={t:.2f}")
                 if c is None:
                     continue
@@ -656,6 +659,27 @@ def main():
                 _exit_bench(3)
             result = {"covered": worst[0], "main": worst[1],
                       "shadow": worst[2], "poses": 3}
+            if dyn_consts:
+                # Device cost of an ANIMATED frame (TRS compose + inline
+                # shadow re-render in-graph) — the wall animated:static
+                # ratio only sees host+dispatch (device_probe.py).
+                from ash_tpu.render.diagnostics.device_probe import (
+                    ingraph_device_ms_dynamic,
+                )
+
+                ok, ig = with_timeout(
+                    lambda: ingraph_device_ms_dynamic(r, dyn_consts),
+                    900, "in-graph animated device probe",
+                )
+                if ok and ig is not None:
+                    result["device_ms_ingraph"] = round(ig["device_ms"], 3)
+                    result["device_fps_ingraph"] = round(ig["fps"], 1)
+                    print(
+                        f"animated device throughput (in-graph scan "
+                        f"slope K={ig['k']}): {ig['device_ms']:.2f} "
+                        f"ms/frame = {ig['fps']:.1f} fps",
+                        file=sys.stderr,
+                    )
         else:
             def _redispatch():
                 o = r.render_frame(view, proj, cam.position)

@@ -51,6 +51,43 @@ def test_probe_post_taa_path():
     assert res["covered"] == int(out.covered_pixels)
 
 
+def test_probe_dynamic_trs_path():
+    from ash_tpu.render import RenderCommand
+    from ash_tpu.render.diagnostics.device_probe import (
+        ingraph_device_ms_dynamic,
+    )
+
+    r = Renderer(HeadlessSurface(64, 64), RendererConfig(
+        tile_h=8, tile_w=32, max_tris_per_tile=64,
+        shadow_resolution=128, shadow_tile=32,
+        shadow_max_tris_per_tile=64,
+    ))
+    r.register_mesh_handle(0, Mesh.create_cube())
+    r.register_material_handle(1, Material(color=(0.5, 0.5, 0.8, 1.0)))
+    n = 4
+    t = np.zeros((n, 3), np.float32)
+    q = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+    s = np.ones((n, 3), np.float32)
+    cmds = []
+    for i in range(n):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = t[i, 0] = float(i) - 1.5
+        cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+    r.submit_render_commands(cmds)
+    cam = Camera.new([0, 0, 5], [0, 0, 0], 1.0)
+    view, proj = cam.view_matrix(), cam.projection_matrix()
+    r.render_frame(view, proj, cam.position)
+    r.update_transforms_trs(t, q, s)
+    out = r.render_frame(view, proj, cam.position)  # dynamic TRS frame
+    assert r._dyn_args is not None and r._dyn_args[2] == "trs"
+    res = ingraph_device_ms_dynamic(
+        r, [r._dyn_args[1]], k_lo=2, k_hi=5, reps=1
+    )
+    assert res is not None
+    assert res["device_ms"] > 0
+    assert res["covered"] == int(out.covered_pixels)
+
+
 def test_probe_returns_none_without_state():
     r = Renderer(HeadlessSurface(32, 32), RendererConfig(
         tile_h=8, tile_w=32, max_tris_per_tile=32, shadows_enabled=False,
