@@ -35,9 +35,19 @@ def _renderer(post=False):
     return r, out
 
 
+def _probe_retry(fn):
+    """On a loaded single-core CI box the K-pair walls can invert from
+    scheduling noise (slope <= 0 -> None); one retry with more reps
+    settles it. The K contrast is wide enough that a genuine inversion
+    would mean the probe is broken."""
+    return fn(reps=2) or fn(reps=3)
+
+
 def test_probe_plain_matches_direct_render():
     r, out = _renderer()
-    res = ingraph_device_ms(r, k_lo=2, k_hi=6, reps=1)
+    res = _probe_retry(
+        lambda reps: ingraph_device_ms(r, k_lo=2, k_hi=10, reps=reps)
+    )
     assert res is not None
     assert res["device_ms"] > 0
     assert res["covered"] == int(out.covered_pixels)
@@ -45,7 +55,9 @@ def test_probe_plain_matches_direct_render():
 
 def test_probe_post_taa_path():
     r, out = _renderer(post=True)
-    res = ingraph_device_ms(r, k_lo=2, k_hi=6, reps=1)
+    res = _probe_retry(
+        lambda reps: ingraph_device_ms(r, k_lo=2, k_hi=10, reps=reps)
+    )
     assert res is not None
     assert res["device_ms"] > 0
     assert res["covered"] == int(out.covered_pixels)
@@ -80,8 +92,10 @@ def test_probe_dynamic_trs_path():
     r.update_transforms_trs(t, q, s)
     out = r.render_frame(view, proj, cam.position)  # dynamic TRS frame
     assert r._dyn_args is not None and r._dyn_args[2] == "trs"
-    res = ingraph_device_ms_dynamic(
-        r, [r._dyn_args[1]], k_lo=2, k_hi=5, reps=1
+    res = _probe_retry(
+        lambda reps: ingraph_device_ms_dynamic(
+            r, [r._dyn_args[1]], k_lo=2, k_hi=10, reps=reps
+        )
     )
     assert res is not None
     assert res["device_ms"] > 0

@@ -1,0 +1,91 @@
+"""A/B RendererConfig variants on TRUE device time (in-graph scan slope).
+
+Round 5 established that single-execution walls on the tunneled TPU
+measure dispatch rate, not device time (ROADMAP "Tunnel measurement
+model") — so every config experiment judged by those walls (bf16
+shading "no speedup" at r3, packed gbuffer "a wash" at r4) must be
+re-run against diagnostics/device_probe.ingraph_device_ms. This tool
+builds the plain bench scene per variant and prints the honest ms.
+
+Usage:
+    python tools/device_ab.py                 # built-in variant sweep
+    python tools/device_ab.py k=8,48         # custom scan K pair
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+VARIANTS = [
+    ("baseline", {}),
+    ("bf16_shade", {"shade_dtype": "bf16"}),
+    ("gbuffer_packed", {"gbuffer_packed": True}),
+    ("bf16+packed", {"shade_dtype": "bf16", "gbuffer_packed": True}),
+]
+
+
+def main():
+    k_lo, k_hi = 4, 24
+    for a in sys.argv[1:]:
+        if a.startswith("k="):
+            k_lo, k_hi = (int(v) for v in a[2:].split(","))
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from ash_tpu.render.diagnostics.device_probe import ingraph_device_ms
+    from ash_tpu.render.frame import clear_program_caches
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    results = {}
+    for name, overrides in VARIANTS:
+        t0 = time.perf_counter()
+        r, surface, cam, _ = bench.build_bench_renderer(
+            1920, 1080, 1000, **overrides
+        )
+        view, proj = cam.view_matrix(), cam.projection_matrix()
+        out = r.render_frame(view, proj, cam.position)
+        out.image.block_until_ready()
+        r.render_frame(view, proj, cam.position).image.block_until_ready()
+        res = ingraph_device_ms(r, k_lo=k_lo, k_hi=k_hi)
+        build_s = time.perf_counter() - t0
+        if res is None:
+            print(f"{name}: probe unavailable", flush=True)
+            continue
+        results[name] = res["device_ms"]
+        base = results.get("baseline")
+        rel = f" ({res['device_ms'] / base:.3f}x baseline)" if base else ""
+        print(
+            f"{name}: device {res['device_ms']:.3f} ms/frame "
+            f"({res['fps']:.1f} fps){rel} "
+            f"[covered {res['covered']}, setup {build_s:.0f}s]",
+            flush=True,
+        )
+        # Each variant compiles its own scan programs; drop them so four
+        # variants don't pile up executables.
+        del r, surface, out
+        clear_program_caches()
+
+
+if __name__ == "__main__":
+    main()
