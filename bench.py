@@ -1153,6 +1153,7 @@ def main():
         # the hardware does.
         record["device_ms"] = round(ingraph_ms, 3)
         record["device_fps"] = round(1000.0 / ingraph_ms, 1)
+        record["device_vs_baseline"] = round(1000.0 / ingraph_ms / 60.0, 3)
     if device_ms is not None and frame_gflop is not None:
         # Roofline accounting (VERDICT r4 next #3): FLOPs/bytes from
         # XLA's per-op cost analysis summed over the frame's
