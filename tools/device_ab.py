@@ -30,12 +30,26 @@ VARIANTS = [
     ("bf16+packed", {"shade_dtype": "bf16", "gbuffer_packed": True}),
 ]
 
+# Raster tile-shape sweep (sweep=tiles): the r2 conclusion that 32x128 is
+# optimal came from dispatch-rate walls — re-decide on device time.
+TILE_VARIANTS = [
+    ("tile_32x128 (default)", {}),
+    ("tile_16x128", {"tile_h": 16, "tile_w": 128}),
+    ("tile_64x128", {"tile_h": 64, "tile_w": 128}),
+    ("tile_8x128", {"tile_h": 8, "tile_w": 128}),
+    ("tile_32x256", {"tile_h": 32, "tile_w": 256}),
+    ("tile_16x256", {"tile_h": 16, "tile_w": 256}),
+]
+
 
 def main():
     k_lo, k_hi = 4, 24
+    variants = VARIANTS
     for a in sys.argv[1:]:
         if a.startswith("k="):
             k_lo, k_hi = (int(v) for v in a[2:].split(","))
+        elif a == "sweep=tiles":
+            variants = TILE_VARIANTS
 
     import jax
 
@@ -58,7 +72,8 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     results = {}
-    for name, overrides in VARIANTS:
+    baseline_name = variants[0][0]
+    for name, overrides in variants:
         t0 = time.perf_counter()
         r, surface, cam, _ = bench.build_bench_renderer(
             1920, 1080, 1000, **overrides
@@ -73,7 +88,7 @@ def main():
             print(f"{name}: probe unavailable", flush=True)
             continue
         results[name] = res["device_ms"]
-        base = results.get("baseline")
+        base = results.get(baseline_name)
         rel = f" ({res['device_ms'] / base:.3f}x baseline)" if base else ""
         print(
             f"{name}: device {res['device_ms']:.3f} ms/frame "
