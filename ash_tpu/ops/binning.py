@@ -1,7 +1,7 @@
 """Triangle -> screen-tile binning.
 
 The TPU replacement for the GPU's hardware rasterizer scheduling: the screen is
-divided into tiles (default 32 x 128 pixels — sublane x lane aligned for the
+divided into tiles (default 64 x 128 pixels — sublane x lane aligned for the
 VPU), and each tile gets a bounded, ordered list of candidate triangles. The
 per-tile lists are built with dense vectorized ops (a (tiles, T) overlap
 matrix + top_k compaction) — no atomics, matching the design note in

@@ -72,7 +72,7 @@ class FrameConfig:
 
     width: int
     height: int
-    tile_h: int = 32
+    tile_h: int = 64
     tile_w: int = 128
     max_tris_per_tile: int = 256
     shadow_enabled: bool = True

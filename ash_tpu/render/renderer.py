@@ -218,7 +218,12 @@ class RendererConfig:
     """Construction-time knobs (reference RendererConfig/PipelineConfig,
     renderer.rs:147-181, plus TPU-specific tiling parameters)."""
 
-    tile_h: int = 32
+    # 64x128 raster tiles: measured optimal on TRUE device time (round-5
+    # in-graph sweep, tools/device_ab.py sweep=tiles: 64x128 = 0.65x the
+    # old 32x128 default's frame time at 1080p/1000 obj, overflow still 0
+    # at the 256 cap; 8x128 = 3.7x, 128x256 = back to 1.0x). The r2
+    # "32x128 optimal" conclusion came from dispatch-rate walls.
+    tile_h: int = 64
     tile_w: int = 128
     max_tris_per_tile: int = 256
     shadows_enabled: bool = True
@@ -1239,10 +1244,9 @@ class Renderer:
         bytes_accessed is fusion-level operand+result traffic — an upper
         bound on achieved HBM bytes.
         """
-        self._dispatch_record = []
+        self._dispatch_record = rec = []
         try:
             self.render_frame(view, proj, camera_pos)
-            rec = self._dispatch_record
         finally:
             self._dispatch_record = None
         flops = bytes_acc = 0.0

@@ -32,6 +32,10 @@ VARIANTS = [
 
 # Raster tile-shape sweep (sweep=tiles): the r2 conclusion that 32x128 is
 # optimal came from dispatch-rate walls — re-decide on device time.
+# Round-5 result (1080p/1000obj): 64x128 = 0.65x baseline, 32x256 =
+# 0.78x, smaller tiles much worse (8x128 = 3.7x) — bigger tiles win
+# until VMEM/cap costs bite; sweep=tiles2 probes further up with
+# area-scaled capacities (no overflow-rate change vs the 32x128 cap).
 TILE_VARIANTS = [
     ("tile_32x128 (default)", {}),
     ("tile_16x128", {"tile_h": 16, "tile_w": 128}),
@@ -39,6 +43,20 @@ TILE_VARIANTS = [
     ("tile_8x128", {"tile_h": 8, "tile_w": 128}),
     ("tile_32x256", {"tile_h": 32, "tile_w": 256}),
     ("tile_16x256", {"tile_h": 16, "tile_w": 256}),
+]
+
+TILE_VARIANTS_2 = [
+    ("tile_32x128_cap256 (default)", {}),
+    ("tile_64x128_cap512",
+     {"tile_h": 64, "tile_w": 128, "max_tris_per_tile": 512}),
+    ("tile_64x256_cap1024",
+     {"tile_h": 64, "tile_w": 256, "max_tris_per_tile": 1024}),
+    ("tile_128x128_cap1024",
+     {"tile_h": 128, "tile_w": 128, "max_tris_per_tile": 1024}),
+    ("tile_128x256_cap2048",
+     {"tile_h": 128, "tile_w": 256, "max_tris_per_tile": 2048}),
+    ("tile_64x512_cap2048",
+     {"tile_h": 64, "tile_w": 512, "max_tris_per_tile": 2048}),
 ]
 
 
@@ -50,6 +68,8 @@ def main():
             k_lo, k_hi = (int(v) for v in a[2:].split(","))
         elif a == "sweep=tiles":
             variants = TILE_VARIANTS
+        elif a == "sweep=tiles2":
+            variants = TILE_VARIANTS_2
 
     import jax
 
