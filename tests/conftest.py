@@ -11,6 +11,17 @@ import os
 # config), which is slow for eager unit tests and single-chip only. Env var
 # alone is not enough — set the config after import, before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# pytest-xdist: the suite is parallel-safe BY FILE (run with
+# `-n <workers> --dist loadfile`, see README "Running the tests") — the
+# module-scoped _drop_live_programs fixture and the frame-program LRU
+# assume one module's programs stay cached within one process. Under
+# xdist each worker is its own process with its own vm.max_map_count
+# budget; a tighter per-worker program cap keeps N workers' combined
+# footprint (host RAM + mappings) bounded. Must be set before
+# ash_tpu.render.frame first imports.
+if os.environ.get("PYTEST_XDIST_WORKER"):
+    os.environ.setdefault("ASH_MAX_LIVE_PROGRAMS", "24")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
