@@ -160,8 +160,13 @@ def build_mega_renderer(width, height, **cfg_overrides):
 
     mesh = mod.build_sphere_grid(709)
     surface = HeadlessSurface(width, height)
+    # Mega pins 32x128 tiles: the global default moved to 64x128 (faster
+    # for ordinary scenes), but at 1M-triangle density bigger tiles just
+    # double the worst-tile demand (escalation lands at 65536 caps, 25 dB
+    # base-cap PSNR) for the same ~1 fps device throughput; 32x128 keeps
+    # the binning k at 32768 and the r4-comparable base-cap PSNR.
     mega_cfg = dict(max_tris_per_tile=8192, shadow_max_tris_per_tile=8192,
-                    binning_policy="nearest")
+                    binning_policy="nearest", tile_h=32, tile_w=128)
     mega_cfg.update(cfg_overrides)  # --bf16 / --pipeline-mode etc. apply
     r = Renderer(surface, RendererConfig(**mega_cfg))
     r.set_mesh(mesh)
