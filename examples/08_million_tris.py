@@ -59,14 +59,15 @@ def main():
 
     surface = HeadlessSurface(1920, 1080)
     # At ~1.2 tris/pixel the silhouette stacks tens of thousands of
-    # sub-pixel triangles into single tiles — beyond any practical cap.
-    # binning_policy="nearest" makes the overflow drop the FARTHEST
-    # triangles, so the caps bound memory without visible holes.
+    # sub-pixel triangles into single tiles. binning_policy="nearest"
+    # makes any overflow drop the FARTHEST triangles; 32x128 tiles keep
+    # the per-tile demand half of what the 64x128 default would see.
     r = Renderer(
         surface,
         RendererConfig(max_tris_per_tile=8192,
                        shadow_max_tris_per_tile=8192,
-                       binning_policy="nearest"),
+                       binning_policy="nearest",
+                       tile_h=32, tile_w=128),
     )
     t0 = time.perf_counter()
     r.set_mesh(mesh)
@@ -76,6 +77,25 @@ def main():
                          cam.position)
     out.image.block_until_ready()
     print(f"upload + first frame: {time.perf_counter()-t0:.1f}s")
+
+    # Drop-free escalation (round 5): feed the measured overflow back and
+    # the capacities grow to the worst tile's exact demand — the next
+    # frames render EVERY triangle (bench.py measures 32768/32768 caps
+    # and 0/0 overflow for this scene; the 8192-cap render measures
+    # 37 dB PSNR against the drop-free one).
+    main_of = int(out.binning_overflow)
+    shadow_of0 = (
+        int(out.shadow_overflow) if out.shadow_overflow is not None else 0
+    )
+    if main_of or shadow_of0:
+        changed = r.escalate_tile_capacities(main_of, shadow_of0)
+        print(f"escalating tile caps to fit: {changed}")
+        t0 = time.perf_counter()
+        out = r.render_frame(cam.view_matrix(), cam.projection_matrix(),
+                             cam.position)
+        out.image.block_until_ready()
+        print(f"escalated first frame (compile): "
+              f"{time.perf_counter()-t0:.1f}s")
 
     frames = 10
     t0 = time.perf_counter()

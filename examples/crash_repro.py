@@ -112,7 +112,8 @@ def main():
     r = Renderer(
         surface,
         RendererConfig(max_tris_per_tile=8192,
-                       shadow_max_tris_per_tile=8192),
+                       shadow_max_tris_per_tile=8192,
+                       tile_h=32, tile_w=128),  # caps tuned at 32x128
     )
     t0 = time.perf_counter()
     r.set_mesh(mesh)  # upload: scene pack + mip chain + bindless registration
