@@ -33,6 +33,30 @@ from typing import Optional
 import numpy as np
 
 
+def _measure_slope(make, k_lo: int, k_hi: int, reps: int):
+    """Shared K-pair measurement protocol: for each K, build the scan via
+    `make(k) -> (fn, args)`, compile + drain once, then take the best of
+    `reps` drain-forced walls; the (k_hi - k_lo) slope is the per-frame
+    device time. Returns (device_ms, covered) or None on a non-positive
+    slope (scheduling-noise inversion on loaded hosts — callers retry)."""
+    results = {}
+    covered = None
+    for k in (k_lo, k_hi):
+        f, args = make(k)
+        np.asarray(f(*args))  # compile + first drain
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cov = np.asarray(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        results[k] = best
+        covered = int(cov[-1])
+    slope_s = (results[k_hi] - results[k_lo]) / (k_hi - k_lo)
+    if slope_s <= 0:
+        return None
+    return slope_s * 1000.0, covered
+
+
 def _build_scan(r, k: int):
     """Jitted fn(consts, scene, models, pool, lights, ext, history0,
     prev_depth0) running the renderer's current frame program k times
@@ -161,23 +185,14 @@ def ingraph_device_ms_dynamic(
 
         return f, batch
 
-    results = {}
-    covered = None
-    for k in (k_lo, k_hi):
+    def make_with_args(k):
         f, batch = make(k)
-        args = (batch, scene, pool, lights, prev_depth, history)
-        np.asarray(f(*args))  # compile + first drain
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            cov = np.asarray(f(*args))
-            best = min(best, time.perf_counter() - t0)
-        results[k] = best
-        covered = int(cov[-1])
-    slope_s = (results[k_hi] - results[k_lo]) / (k_hi - k_lo)
-    if slope_s <= 0:
+        return f, (batch, scene, pool, lights, prev_depth, history)
+
+    measured = _measure_slope(make_with_args, k_lo, k_hi, reps)
+    if measured is None:
         return None
-    device_ms = slope_s * 1000.0
+    device_ms, covered = measured
     return {
         "device_ms": device_ms,
         "fps": 1000.0 / device_ms,
@@ -223,24 +238,16 @@ def ingraph_device_ms(
     consts = jnp.asarray(consts)
     prev_models = None if prev_models is None else jnp.asarray(prev_models)
 
-    results = {}
-    covered = None
-    for k in (k_lo, k_hi):
-        f = _build_scan(r, k)
-        args = (consts, scene, models, prev_models, pool, lights, ext,
-                history0, prev_depth0)
-        np.asarray(f(*args))  # compile + first drain
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            cov = np.asarray(f(*args))
-            best = min(best, time.perf_counter() - t0)
-        results[k] = best
-        covered = int(cov[-1])
-    slope_s = (results[k_hi] - results[k_lo]) / (k_hi - k_lo)
-    if slope_s <= 0:
+    def make_with_args(k):
+        return _build_scan(r, k), (
+            consts, scene, models, prev_models, pool, lights, ext,
+            history0, prev_depth0,
+        )
+
+    measured = _measure_slope(make_with_args, k_lo, k_hi, reps)
+    if measured is None:
         return None
-    device_ms = slope_s * 1000.0
+    device_ms, covered = measured
     return {
         "device_ms": device_ms,
         "fps": 1000.0 / device_ms,

@@ -1102,6 +1102,10 @@ class Renderer:
                         history2, lights, prev_depth2, use_ext,
                     )
                 self._split_warmed.add(config2)
+                if self._dyn_args is not None:
+                    # Animated apps resize too: the post-swap animated
+                    # frame must hit the cache like the static one.
+                    self._warm_dynamic_extent(w2, h2)
             except Exception as e:  # noqa: BLE001 — adoption falls back
                 import logging
 
@@ -1115,6 +1119,50 @@ class Renderer:
         state["thread"] = t
         self._resize_state = state
         t.start()
+
+    def _warm_dynamic_extent(self, w2: int, h2: int) -> None:
+        """Compile the dynamic one-upload program at the new extent (the
+        standard resize warm only covers the static pipelines; an app
+        animating via update_transforms[_trs] would otherwise stall on a
+        synchronous dynamic compile at the swap frame). The dynamic
+        consts buffer's shape is resolution-independent, so the last
+        dispatch's specs carry over; only prev_depth re-shapes."""
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from .frame import compiled_frame_dynamic, compiled_frame_dynamic_trs
+
+        (dcfg, dconsts, kind, dpool, dhist, dlights,
+         dprev) = self._dyn_args
+        dcfg2 = _dc.replace(dcfg, width=w2, height=h2)
+        fn = (
+            compiled_frame_dynamic_trs if kind == "trs"
+            else compiled_frame_dynamic
+        )(dcfg2)
+
+        def spec(x):
+            return jax.tree.map(
+                lambda a: (
+                    jax.ShapeDtypeStruct(a.shape, a.dtype)
+                    if hasattr(a, "shape") and hasattr(a, "dtype") else a
+                ),
+                x,
+            )
+
+        prev2 = (
+            jnp.ones((h2, w2), jnp.float32) if dprev is not None else None
+        )
+        hist2 = (
+            jnp.zeros((h2, w2, 3), jnp.float32)
+            if dhist is not None else None
+        )
+        low = fn.lower(
+            spec(self._scene.buffers), spec(dconsts), spec(dpool), hist2,
+            spec(dlights), prev2, spec(self._ibl),
+        )
+        _locked_compile(low)
 
     def wait_resize(self, timeout: Optional[float] = None) -> bool:
         """Block until a pending async resize has compiled its programs
@@ -2166,6 +2214,10 @@ class Renderer:
                 image, self.diagnostics_state.overlay_lines()
             )
             outputs = outputs._replace(image=image)
+        if self._resize_state is not None:
+            # Async-resize transition: honor the surface's new extent
+            # (same contract as the standard path's present).
+            image = self._present_scale(image, self._resize_state["target"])
         self.surface.present(image)
         self._last_outputs = outputs
         self.frame_count += 1

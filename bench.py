@@ -233,8 +233,13 @@ def run_subprocess_bench(flags, frames, guard=False):
     print(f"--- suite: {' '.join(cmd[1:])}", file=sys.stderr)
     lines = []
     try:
+        # 5400s: each child runs its own pre-timing probe (2 attempts x
+        # up to 1500s on a wedged tunnel) BEFORE its timing loops, trace
+        # attempts, and cost analysis — a 1800s ceiling would kill
+        # exactly the slow-tunnel runs and silently lose their metric
+        # lines (the ADVICE r4 #3 failure mode, one level up).
         p = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True, timeout=5400,
         )
         sys.stderr.write(p.stderr)
         for ln in p.stdout.splitlines():
@@ -444,8 +449,9 @@ def main():
     ap.add_argument(
         "--trace", action=argparse.BooleanOptionalAction, default=None,
         help="per-pass device-timeline attribution of the fused frame "
-        "(default: on for the plain TPU config; ~75 s of trace collection "
-        "on the tunnel)",
+        "(default: on for every TPU config incl. the suite extras; each "
+        "pays ~75 s of tunnel trace collection, watchdogged — "
+        "--no-trace opts a config out)",
     )
     ap.add_argument(
         "--overflow-probe", action="store_true",
@@ -658,6 +664,7 @@ def main():
             # overflow appearing late must not hide behind a frame-1-only
             # probe — ADVICE r4 #1). Report the worst pose.
             worst = None
+            poses_sampled = 0
             dyn_consts = []
             for t in (1.0 / 60.0, 100.0 / 60.0, 200.0 / 60.0):
                 def _pose(t=t):
@@ -677,12 +684,13 @@ def main():
                 c = _read_with_retry(o, _pose, f"probe pose t={t:.2f}")
                 if c is None:
                     continue
+                poses_sampled += 1
                 if worst is None or (c[1], c[2]) > (worst[1], worst[2]):
                     worst = c
             result = {}
             if worst is not None:
                 result = {"covered": worst[0], "main": worst[1],
-                          "shadow": worst[2], "poses": 3}
+                          "shadow": worst[2], "poses": poses_sampled}
             if dyn_consts:
                 # Device cost of an ANIMATED frame (TRS compose + inline
                 # shadow re-render in-graph) — the wall animated:static
@@ -1051,6 +1059,12 @@ def main():
         args.cold_cache and not args.cpu and not args.small
         and not args.animate
     ):
+        # The pre-timing probe child used the WARM shared cache; its
+        # number must not masquerade as cold evidence. If the in-process
+        # cold probe below fails, the cold line carries NO device fields.
+        ingraph_ms = None
+        device_ms = None
+        device_ms_source = None
         # Cold-start evidence must measure THIS process's promoted
         # pipeline, not the (warm-cache) probe child's: run the in-graph
         # probe here, at end of process life where its drain readbacks
@@ -1221,6 +1235,10 @@ def main():
     for ln in held_metric_lines:
         print(ln)
     print(json.dumps(record))
+    if args.cold_cache:
+        import shutil
+
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
     if args.guard:
         with open(

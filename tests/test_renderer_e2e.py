@@ -174,6 +174,50 @@ def test_resize_sync_mode_respecializes_immediately():
     assert surface.read_back().shape == (80, 96, 4)
 
 
+def test_async_resize_during_animation():
+    """An app on the dynamic (update_transforms_trs) path resizes: the
+    transition presents at the new extent, the background warm also
+    compiles the DYNAMIC program at the new shape, and post-swap
+    animated frames render natively."""
+    from ash_tpu import Material
+    from ash_tpu.render import RenderCommand
+
+    surface = HeadlessSurface(64, 64)
+    r = Renderer(
+        surface,
+        RendererConfig(tile_h=8, tile_w=32, max_tris_per_tile=32,
+                       shadows_enabled=False),
+    )
+    r.register_mesh_handle(0, Mesh.create_cube())
+    r.register_material_handle(1, Material(color=(0.7, 0.4, 0.2, 1.0)))
+    n = 3
+    t = np.zeros((n, 3), np.float32)
+    q = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+    s = np.ones((n, 3), np.float32)
+    cmds = []
+    for i in range(n):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = t[i, 0] = float(i) - 1.0
+        cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+    r.submit_render_commands(cmds)
+    view, proj, pos = _camera(64, 64)
+    r.render_frame(view, proj, pos)  # static frame sets _warm_args
+    r.update_transforms_trs(t, q, s)
+    r.render_frame(view, proj, pos)  # dynamic frame sets _dyn_args
+
+    surface.resize(96, 80)
+    view, proj, pos = _camera(96, 80)
+    r.update_transforms_trs(t, q, s)
+    out = r.render_frame(view, proj, pos)  # transition: old extent serves
+    assert surface.read_back().shape == (80, 96, 4)
+    assert out.color.shape[0] == 64
+    assert r.wait_resize(timeout=180.0)
+    r.update_transforms_trs(t, q, s)
+    out = r.render_frame(view, proj, pos)  # post-swap animated frame
+    assert out.color.shape[:2] == (80, 96)
+    assert surface.read_back().shape == (80, 96, 4)
+
+
 def test_async_resize_every_frame_presents_and_swaps():
     """During the transition EVERY frame presents at the requested
     extent while the old program keeps serving; after the warm lands the

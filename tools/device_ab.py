@@ -37,16 +37,20 @@ VARIANTS = [
 # until VMEM/cap costs bite; sweep=tiles2 probes further up with
 # area-scaled capacities (no overflow-rate change vs the 32x128 cap).
 TILE_VARIANTS = [
-    ("tile_32x128 (default)", {}),
+    # Every row pins its shape explicitly so the table stays correct as
+    # the RendererConfig default moves (it moved 32x128 -> 64x128 from
+    # this sweep's own result).
+    ("tile_64x128 (current default)", {"tile_h": 64, "tile_w": 128}),
+    ("tile_32x128 (pre-r5 default)", {"tile_h": 32, "tile_w": 128}),
     ("tile_16x128", {"tile_h": 16, "tile_w": 128}),
-    ("tile_64x128", {"tile_h": 64, "tile_w": 128}),
     ("tile_8x128", {"tile_h": 8, "tile_w": 128}),
     ("tile_32x256", {"tile_h": 32, "tile_w": 256}),
     ("tile_16x256", {"tile_h": 16, "tile_w": 256}),
 ]
 
 TILE_VARIANTS_2 = [
-    ("tile_32x128_cap256 (default)", {}),
+    ("tile_32x128_cap256 (pre-r5 default)",
+     {"tile_h": 32, "tile_w": 128, "max_tris_per_tile": 256}),
     ("tile_64x128_cap512",
      {"tile_h": 64, "tile_w": 128, "max_tris_per_tile": 512}),
     ("tile_64x256_cap1024",
