@@ -170,3 +170,29 @@ def test_chunked_dedupes_identical_chunk_buffers():
     r_ref = make_renderer()
     r_ref.submit_render_commands(cmds)
     np.testing.assert_array_equal(img, render(r_ref))
+
+
+def test_chunked_presents_scaled_during_async_resize():
+    """The chunked path honors the async-resize surface contract: while
+    the new extent compiles in the background, presented frames are
+    scaled to the requested size (review r5 — only the standard path
+    applied the scale at first)."""
+    r = make_renderer(max_draws_per_chunk=4)
+    # A standard (unchunked) frame first: async resize needs the standard
+    # warm-args snapshot; a chunked-only app falls back to sync resize.
+    r.submit_render_commands(commands(3, seed=3))
+    cam = Camera.new([6.0, 5.0, 8.0], [0, 0, 0], W / H)
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+    # The draw list grows past the chunk threshold, then the resize lands.
+    r.submit_render_commands(commands(11, seed=3))
+    r.render_frame(cam.view_matrix(), cam.projection_matrix(), cam.position)
+
+    r.surface.resize(W + 32, H + 32)
+    cam2 = Camera.new([6.0, 5.0, 8.0], [0, 0, 0], (W + 32) / (H + 32))
+    out = r.render_frame(
+        cam2.view_matrix(), cam2.projection_matrix(), cam2.position
+    )
+    # Transition frame: old-extent program served, presented at the new
+    # extent.
+    assert r.surface.read_back().shape == (H + 32, W + 32, 4)
+    assert out.color.shape[0] == H
