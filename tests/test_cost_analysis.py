@@ -86,3 +86,26 @@ def test_cost_analysis_post_split_pipeline():
         or ca["programs"] == ["band", "finalize"]
     ), ca["programs"]
     assert ca["flops"] > 0 and ca["bytes_accessed"] > 0
+
+
+def test_cost_analysis_chunked_path_returns_empty():
+    """The chunked-geometry path doesn't record dispatches (documented);
+    frame_cost_analysis must come back empty rather than crash."""
+    from ash_tpu.render import RenderCommand
+
+    r = Renderer(HeadlessSurface(64, 64), _small_cfg(
+        max_draws_per_chunk=2,
+    ))
+    r.register_mesh_handle(0, Mesh.create_cube())
+    r.register_material_handle(1, Material(color=(0.6, 0.6, 0.2, 1.0)))
+    cmds = []
+    for i in range(5):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = float(i) - 2.0
+        cmds.append(RenderCommand(mesh=0, transform=m, material=1))
+    r.submit_render_commands(cmds)
+    view, proj, pos = _cam()
+    r.render_frame(view, proj, pos)
+    ca = r.frame_cost_analysis(view, proj, pos)
+    assert ca["programs"] == []
+    assert ca["flops"] == 0.0
